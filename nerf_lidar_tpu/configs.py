@@ -1,0 +1,237 @@
+"""Configuration tree for nerf_lidar_tpu.
+
+Replaces the reference's gin-on-class-attributes system (reference
+internal/configs.py:22-229, models.py class attributes) with frozen
+dataclasses: hashable (so jit can close over them), serializable, and
+overridable from TOML/JSON or --key=value CLI flags. The "per-MLP config
+block" concept is kept: `ModelConfig` holds one `MLPConfig` per MLP role
+(nerf / prop levels / obj), mirroring gin's NerfMLP/PropMLP/ObjMLP aliases.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional, Tuple
+
+
+def _replace(obj, **kw):
+    return dataclasses.replace(obj, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class GridConfig:
+    """Hash-grid encoder knobs (reference models.py:825-830, grid.py:96-156)."""
+    level_dim: int = 4
+    base_resolution: int = 16
+    desired_resolution: int = 8192
+    log2_hashmap_size: int = 21
+    level_interval: int = 2  # resolution multiplier between levels
+
+    @property
+    def num_levels(self) -> int:
+        import numpy as np
+        return int(np.log(self.desired_resolution / self.base_resolution)
+                   / np.log(self.level_interval)) + 1
+
+
+@dataclasses.dataclass(frozen=True)
+class MLPConfig:
+    """One MLP role (reference models.py:796-846 class attributes)."""
+    grid: GridConfig = GridConfig()
+    bottleneck_width: int = 256
+    net_depth_viewdirs: int = 2
+    net_width_viewdirs: int = 256
+    skip_layer_dir: int = 0
+    num_rgb_channels: int = 3
+    deg_view: int = 4
+    bottleneck_noise: float = 0.0
+    density_bias: float = -1.0
+    density_noise: float = 0.0
+    rgb_premultiplier: float = 1.0
+    rgb_bias: float = 0.0
+    rgb_padding: float = 0.001
+    disable_density_normals: bool = True
+    disable_rgb: bool = False
+    warp_fn: Optional[str] = "contract"
+    num_glo_features: int = 0
+    num_glo_embeddings: int = 1000
+    net_width_glo: int = 128
+    net_depth_glo: int = 2
+    scale_featurization: bool = False
+    class_num: int = 19
+    use_semantic: bool = False
+    use_intensity: bool = False
+    no_sem_layer: bool = True  # if False, use a separate 64-wide sem head
+    density_init: bool = False  # +0.1 bias init on density output
+    re_weights: bool = True  # erf multisample downweighting
+    fixed_semantic: bool = False  # emit a constant one-hot class
+    class_type: int = 255
+    obj_mode: bool = False  # 32-wide density trunk for obj MLPs
+    complex_decoder: bool = False
+    latent_size: int = 0
+    split_latent: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Scene-level model (reference models.py:31-59 class attributes)."""
+    num_prop_samples: Tuple[int, ...] = (64, 64)
+    num_nerf_samples: int = 32
+    bg_intensity_range: Tuple[float, float] = (1.0, 1.0)
+    anneal_slope: float = 10.0
+    stop_level_grad: bool = True
+    use_viewdirs: bool = True
+    raydist_fn: Optional[str] = "power_transformation"
+    single_jitter: bool = True
+    dilation_multiplier: float = 0.5
+    dilation_bias: float = 0.0025
+    num_glo_features: int = 0
+    num_glo_embeddings: int = 1000
+    near_anneal_rate: Optional[float] = None
+    near_anneal_init: float = 0.95
+    resample_padding: float = 0.0
+    opaque_background: bool = True
+    power_lambda: float = -1.5
+    std_scale: float = 0.35
+    prop_desired_grid_size: Tuple[int, ...] = (512, 2048)
+    sample_n: int = 7  # multisamples per frustum
+    sample_m: int = 3  # spiral turns
+    use_semantic: bool = True
+    use_intensity: bool = False
+    sem_detach: bool = True
+    # Dynamic objects.
+    instance_obj: bool = False
+    num_objects: int = 0  # static upper bound on tracked objects
+    latent_size: int = 0
+    symmetrize: bool = False
+    # MLP blocks (gin alias analog).
+    nerf_mlp: MLPConfig = MLPConfig(
+        use_semantic=True, no_sem_layer=False, disable_density_normals=True)
+    prop_mlp: MLPConfig = MLPConfig(
+        disable_rgb=True, disable_density_normals=True,
+        use_semantic=False, grid=GridConfig(level_dim=1))
+    obj_mlp: MLPConfig = MLPConfig(
+        use_semantic=True, fixed_semantic=True, disable_density_normals=True,
+        warp_fn=None, re_weights=False, bottleneck_width=64,
+        net_width_viewdirs=32, deg_view=2, density_init=True, split_latent=True,
+        grid=GridConfig(level_dim=2, desired_resolution=1024))
+
+    @property
+    def num_levels(self) -> int:
+        return len(self.num_prop_samples) + 1
+
+    def prop_mlp_for_level(self, level: int) -> MLPConfig:
+        grid = _replace(self.prop_mlp.grid,
+                        desired_resolution=self.prop_desired_grid_size[level])
+        return _replace(self.prop_mlp, grid=grid)
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    """Top-level experiment config (reference internal/configs.py:24-211)."""
+    exp_name: str = "exp"
+    data_dir: Optional[str] = None
+    dataset_loader: str = "nusc"
+    seed: int = 0
+
+    # Batching.
+    batch_size: int = 16384
+    patch_size: int = 32
+    lidar_supervision: bool = False
+    lidar_batch_ratio: int = 4
+    factor: int = 1
+
+    near: float = 0.1
+    far: float = 10.0
+    render_chunk_size: int = 16384
+
+    # Train loop.
+    max_steps: int = 25000
+    checkpoint_every: int = 5000
+    checkpoint_keep: int = 1
+    print_every: int = 100
+    train_render_every: int = 500
+    data_loss_type: str = "charb"
+    charb_padding: float = 0.001
+    data_loss_mult: float = 1.0
+    data_coarse_loss_mult: float = 0.0
+    anti_interlevel_loss_mult: float = 0.01
+    pulse_width: Tuple[float, ...] = (0.03, 0.003)
+    distortion_loss_mult: float = 0.005
+    hash_decay_mults: float = 0.1
+    obj_nodecay: bool = True
+    depth_loss: bool = True
+    depth_loss_mult: float = 1.0
+    semantic_loss_mult: float = 0.05
+    intensity_loss_mult: float = 1.0
+    normal_supervision: bool = False
+    latent_reg: float = 0.01
+    sym_loss: float = 1.0
+    sym_start: int = 5000
+
+    lr_init: float = 0.01
+    lr_final: float = 0.001
+    lr_delay_steps: int = 5000
+    lr_delay_mult: float = 1e-8
+    adam_beta1: float = 0.9
+    adam_beta2: float = 0.99
+    adam_eps: float = 1e-15
+    grad_max_norm: float = 0.0
+    grad_max_val: float = 0.0
+
+    # Pose refinement (reference posenet_v2.py, train.py:188-268).
+    pose_refine: bool = False
+    learn_R: bool = True
+    learn_t: bool = False
+    t_ratio: float = 0.25
+    pn_lr_init: float = 4e-5
+    pn_lr_final: float = 2e-6
+    start_step: int = 10000
+    end_step: int = 20000
+    track_refine: bool = False
+    track_start_opt: int = 5000
+    tn_lr_init: float = 1e-4
+    tn_lr_final: float = 1e-5
+
+    # Parallelism.
+    mesh_shape: Tuple[int, ...] = (-1,)  # 1-D data mesh by default
+    mesh_axes: Tuple[str, ...] = ("data",)
+
+    model: ModelConfig = ModelConfig()
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, default=str)
+
+
+def nuscenes_single() -> Config:
+    """Analog of configs/nuscenes_single.gin."""
+    return Config(
+        dataset_loader="nusc", near=0.1, far=10.0, patch_size=32,
+        lidar_supervision=True, lidar_batch_ratio=4,
+        model=ModelConfig(
+            raydist_fn="power_transformation", opaque_background=True,
+            use_semantic=True, instance_obj=True, latent_size=128,
+        ),
+        track_refine=True, track_start_opt=5000, latent_reg=0.01,
+        learn_R=True, learn_t=False,
+    )
+
+
+def tiny_debug() -> Config:
+    """A small config for CPU tests: tiny grids, few samples."""
+    tiny_grid = GridConfig(level_dim=2, base_resolution=4,
+                           desired_resolution=64, log2_hashmap_size=12)
+    nerf = MLPConfig(grid=tiny_grid, bottleneck_width=32,
+                     net_width_viewdirs=32, use_semantic=True,
+                     no_sem_layer=False, class_num=5)
+    prop = MLPConfig(grid=GridConfig(level_dim=1, base_resolution=4,
+                                     desired_resolution=32,
+                                     log2_hashmap_size=10),
+                     disable_rgb=True, use_semantic=False)
+    model = ModelConfig(
+        num_prop_samples=(8,), num_nerf_samples=8, sample_n=3, sample_m=1,
+        prop_desired_grid_size=(32,), use_semantic=True,
+        nerf_mlp=nerf, prop_mlp=prop)
+    return Config(batch_size=64, patch_size=8, max_steps=50,
+                  lr_delay_steps=5, model=model, render_chunk_size=256)

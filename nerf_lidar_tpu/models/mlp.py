@@ -1,0 +1,233 @@
+"""The ZipNeRF MLP family (NerfMLP / PropMLP / ObjMLP) as one flax module.
+
+TPU-native re-design of reference internal/models.py:796-1277. One
+`ZipMLP` module is parameterized by an `MLPConfig` block (the analog of the
+reference's gin-configured class attributes). The pipeline per call:
+
+  contract Gaussians (coord.track_linearize, models.py:968-973)
+  -> hash-grid encode n multisamples + erf downweight + mean
+     (models.py:974-977, fused in ops.grid.hash_encode_multisample)
+  -> scale featurization (models.py:980-989)
+  -> density trunk -> bottleneck (models.py:996-1004)
+  -> semantic / intensity heads (models.py:1124-1143)
+  -> view-dependent RGB branch with posenc dirs, GLO affine, skip
+     (models.py:1144-1234).
+
+All matmuls are MXU-shaped [B*S, W] GEMMs; nothing here has data-dependent
+shapes. Densities for all samples of all rays are evaluated in one batch.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import MLPConfig
+from ..ops import coord
+from ..ops import grid as gridlib
+
+
+class ZipMLP(nn.Module):
+    cfg: MLPConfig
+
+    def setup(self):
+        c = self.cfg
+        self.spec = gridlib.HashGridSpec(
+            num_levels=c.grid.num_levels,
+            level_dim=c.grid.level_dim,
+            base_resolution=c.grid.base_resolution,
+            desired_resolution=c.grid.desired_resolution,
+            log2_hashmap_size=c.grid.log2_hashmap_size)
+        self.table = self.param(
+            "table",
+            lambda key: self.spec.init_table(key, std=1e-4))
+        self._grid_sizes = jnp.asarray(self.spec.grid_sizes())
+
+        last_dim = self.spec.output_dim
+        if c.scale_featurization:
+            last_dim += self.spec.num_levels
+        if c.latent_size > 0:
+            last_dim += c.latent_size // 2 if c.split_latent else c.latent_size
+
+        width_out = 1 if c.disable_rgb else c.bottleneck_width
+        if c.obj_mode:
+            trunk_widths = (32,)
+        elif c.complex_decoder:
+            trunk_widths = (128, 128, 128)
+        else:
+            trunk_widths = (64,)
+        layers = []
+        for w in trunk_widths:
+            layers.append(nn.Dense(w))
+        layers.append(nn.Dense(
+            width_out,
+            bias_init=(nn.initializers.constant(0.1) if c.density_init
+                       else nn.initializers.zeros)))
+        self.density_layers = layers
+
+        if not c.disable_rgb:
+            if c.num_glo_features > 0:
+                glo = []
+                for _ in range(c.net_depth_glo - 1):
+                    glo.append(nn.Dense(c.net_width_glo))
+                glo.append(nn.Dense(c.bottleneck_width * 2))
+                self.glo_layers = glo
+
+            kaiming = nn.initializers.kaiming_uniform()
+            self.view_layers = [
+                nn.Dense(c.net_width_viewdirs, kernel_init=kaiming)
+                for _ in range(c.net_depth_viewdirs)]
+            self.rgb_layer = nn.Dense(c.num_rgb_channels)
+
+            if c.use_semantic and not c.no_sem_layer and not c.fixed_semantic:
+                self.sem_layers = [nn.Dense(64), nn.Dense(c.class_num)]
+            if c.use_intensity:
+                self.intensity_layers = [nn.Dense(64), nn.Dense(1)]
+
+    def _dir_enc(self, viewdirs):
+        return coord.pos_enc(viewdirs, min_deg=0, max_deg=self.cfg.deg_view,
+                             append_identity=True)
+
+    def _encode(self, means, stds):
+        """Contract + hash-encode + erf-downweight the multisample cloud.
+
+        means: [..., n, 3] world coords; stds: [..., n].
+        Returns features [..., F] and erf weights [..., n, L].
+        """
+        c = self.cfg
+        if c.warp_fn is not None:
+            means, stds = coord.track_linearize(c.warp_fn, means, stds)
+            bound = 2.0  # contraction lands in [-2, 2]
+            means = means / bound
+            stds = stds / bound
+        # Map [-1, 1] -> [0, 1] for the grid (reference grid.py:162).
+        x01 = (means + 1.0) / 2.0
+        feats, weights = gridlib.hash_encode_multisample(
+            self.table, x01, stds, self.spec, self._grid_sizes)
+        if c.scale_featurization:
+            # Mean squared embedding per level, detached
+            # (reference models.py:980-989).
+            vl2mean = jax.lax.stop_gradient(
+                jax.ops.segment_sum(
+                    (self.table**2).sum(-1),
+                    jnp.asarray(self.spec.level_ids()),
+                    num_segments=self.spec.num_levels)
+                / jnp.asarray(self.spec.rows_per_level, jnp.float32))
+            featurized_w = ((2 * weights.mean(axis=-2) - 1)
+                            * jnp.sqrt(1e-8 + vl2mean))
+            feats = jnp.concatenate([feats, featurized_w], axis=-1)
+        return feats, weights
+
+    def predict_density(self, means, stds, latent=None, key=None):
+        """Density trunk. Returns (raw_density [...], bottleneck x [..., W])."""
+        c = self.cfg
+        feats, _ = self._encode(means, stds)
+        if latent is not None:
+            lat = (latent[..., : c.latent_size // 2]
+                   if c.split_latent else latent)
+            feats = jnp.concatenate([feats, lat], axis=-1)
+        x = feats
+        for i, layer in enumerate(self.density_layers):
+            x = layer(x)
+            if i != len(self.density_layers) - 1:
+                x = nn.relu(x)
+        raw_density = x[..., 0]
+        if key is not None and c.density_noise > 0:
+            raw_density = raw_density + c.density_noise * jax.random.normal(
+                key, raw_density.shape)
+        return raw_density, x
+
+    def __call__(self, means, stds, viewdirs=None, latent=None, glo_vec=None,
+                 key: Optional[jax.Array] = None):
+        """Evaluate the MLP on multisampled Gaussians.
+
+        means: [..., S, n, 3], stds: [..., S, n], viewdirs: [..., 3].
+        Returns dict with density [..., S], rgb [..., S, 3], semantic
+        [..., S, K] or None, intensity [..., S, 1] or None, normals None
+        (density normals disabled for nuScenes configs, models.py:30-34 gin).
+        """
+        c = self.cfg
+        noise_key = None
+        if key is not None and c.density_noise > 0:
+            key, noise_key = jax.random.split(key)
+        raw_density, x = self.predict_density(
+            means, stds, latent=latent, key=noise_key)
+        density = jax.nn.softplus(raw_density + c.density_bias)
+
+        out = dict(density=density, rgb=None, semantic=None, intensity=None,
+                   normals=None, normals_pred=None, roughness=None,
+                   raw_grad_density=None, grad_pred=None)
+
+        if c.disable_rgb:
+            out["rgb"] = jnp.zeros(density.shape + (3,), density.dtype)
+            return out
+
+        # Semantic head (reference models.py:1124-1137).
+        if c.use_semantic:
+            if c.fixed_semantic:
+                sem = jnp.zeros(x.shape[:-1] + (c.class_num,), x.dtype)
+                if c.class_type != 255:
+                    sem = sem.at[..., c.class_type].set(1.0)
+                sem = jax.lax.stop_gradient(sem)
+            else:
+                if c.no_sem_layer:
+                    sem = x[..., 1:1 + c.class_num]  # v4: in-density channels
+                else:
+                    h = nn.relu(self.sem_layers[0](x))
+                    sem = self.sem_layers[1](h)  # v3: separate head
+                sem = jax.nn.softmax(sem, axis=-1)
+            out["semantic"] = sem
+
+        if c.use_intensity:
+            h = nn.relu(self.intensity_layers[0](x))
+            out["intensity"] = self.intensity_layers[1](h)
+
+        bottleneck = x
+        if key is not None and c.bottleneck_noise > 0:
+            key, sub = jax.random.split(key)
+            bottleneck = bottleneck + c.bottleneck_noise * jax.random.normal(
+                sub, bottleneck.shape)
+
+        if glo_vec is not None and c.num_glo_features > 0:
+            g = glo_vec
+            for i, layer in enumerate(self.glo_layers):
+                g = layer(g)
+                if i != len(self.glo_layers) - 1:
+                    g = nn.relu(g)
+            g = jnp.broadcast_to(g[..., None, :],
+                                 bottleneck.shape[:-1] + g.shape[-1:])
+            scale, shift = jnp.split(g, 2, axis=-1)
+            bottleneck = bottleneck * jnp.exp(scale) + shift
+
+        parts = [bottleneck]
+        if viewdirs is not None:
+            dir_enc = self._dir_enc(viewdirs)
+            dir_enc = jnp.broadcast_to(
+                dir_enc[..., None, :],
+                bottleneck.shape[:-1] + (dir_enc.shape[-1],))
+            parts.append(dir_enc)
+        if c.split_latent and latent is not None:
+            tex = latent[..., c.latent_size // 2:]
+            tex = jnp.broadcast_to(tex[..., None, :],
+                                   bottleneck.shape[:-1] + tex.shape[-1:])
+            parts.append(tex)
+        h = jnp.concatenate(parts, axis=-1)
+
+        inputs = h
+        for i, layer in enumerate(self.view_layers):
+            h = nn.relu(layer(h))
+            if i == c.skip_layer_dir:
+                h = jnp.concatenate([h, inputs], axis=-1)
+
+        rgb = jax.nn.sigmoid(c.rgb_premultiplier * self.rgb_layer(h)
+                             + c.rgb_bias)
+        rgb = rgb * (1 + 2 * c.rgb_padding) - c.rgb_padding
+        out["rgb"] = rgb
+        return out
+
+    def hash_levels(self) -> int:
+        return self.cfg.grid.num_levels

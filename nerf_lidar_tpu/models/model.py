@@ -1,0 +1,213 @@
+"""Scene model: hierarchical proposal sampling + ZipNeRF field.
+
+TPU-native redesign of reference internal/models.py:31-576 (`Model.forward`).
+Differences from the reference that are deliberate TPU choices:
+
+- purely functional: a flax module over parameter pytrees, all randomness via
+  explicit keys, so the whole forward jits into one XLA program;
+- the 3-level sampling loop is a static Python loop (static shapes per
+  level), with sorted-resampling done by dense masked reductions
+  (ops/stepfun.py) rather than searchsorted control flow;
+- dynamic objects (when enabled) are evaluated with a fixed `num_objects`
+  padded track tensor and where-masked compositing instead of data-dependent
+  boolean indexing (reference models.py:400-477) — see models/objects.py.
+
+Returns (renderings, ray_history) shaped exactly like the reference so the
+loss stack (train/losses.py) can mirror reference train_utils.py.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import ModelConfig
+from ..ops import coord, render, stepfun
+from .mlp import ZipMLP
+from . import objects as objlib
+
+
+def _bias(x, s):
+    """Schlick's bias (annealing schedule), reference models.py:344-346."""
+    return (s * x) / ((s - 1) * x + 1)
+
+
+class Model(nn.Module):
+    cfg: ModelConfig
+
+    def setup(self):
+        c = self.cfg
+        self.nerf_mlp = ZipMLP(c.nerf_mlp)
+        self.prop_mlps = [
+            ZipMLP(c.prop_mlp_for_level(i))
+            for i in range(len(c.num_prop_samples))]
+        if c.num_glo_features > 0:
+            self.glo_vecs = nn.Embed(c.num_glo_embeddings, c.num_glo_features)
+        if c.instance_obj and c.num_objects > 0:
+            self.obj_mlp = ZipMLP(c.obj_mlp)
+            if c.latent_size > 0:
+                self.obj_latents = self.param(
+                    "obj_latents", nn.initializers.normal(1.0),
+                    (c.num_objects, c.latent_size))
+
+    def __call__(self, key: Optional[jax.Array], batch: Dict[str, Any],
+                 train_frac: float = 1.0, compute_extras: bool = False,
+                 zero_glo: bool = True, train: bool = False,
+                 tracks: Optional[jax.Array] = None,
+                 track_mask: Optional[jax.Array] = None):
+        """Render a batch of rays.
+
+        batch: dict of [R, ...] arrays: origins, directions, viewdirs,
+          radii [R,1], base_x, base_y, near [R,1], far [R,1]; optional
+          cam_idx [R,1] (GLO), timestamp [R] (dynamic objects).
+        tracks: [num_objects, T, 8] padded track tensor (see objects.py);
+        track_mask: [num_objects] validity.
+        Returns (renderings: list of dicts per level, ray_history).
+        """
+        c = self.cfg
+        num_levels = c.num_levels
+
+        glo_vec = None
+        if c.num_glo_features > 0:
+            if not zero_glo:
+                cam_idx = batch["cam_idx"][..., 0]
+                glo_vec = self.glo_vecs(cam_idx.astype(jnp.int32))
+            else:
+                glo_vec = jnp.zeros(
+                    batch["origins"].shape[:-1] + (c.num_glo_features,))
+
+        _, s_to_t = coord.construct_ray_warps(
+            c.raydist_fn, batch["near"], batch["far"], c.power_lambda)
+
+        if c.near_anneal_rate is None:
+            init_s_near = 0.0
+        else:
+            init_s_near = float(np.clip(
+                1 - train_frac / c.near_anneal_rate, 0, c.near_anneal_init))
+        init_s_far = 1.0
+        sdist = jnp.concatenate([
+            jnp.full_like(batch["near"], init_s_near),
+            jnp.full_like(batch["far"], init_s_far)], axis=-1)
+        weights = jnp.ones_like(batch["near"])
+        prod_num_samples = 1
+
+        # Dynamic objects: per-ray object poses interpolated at ray time.
+        obj_pose = None
+        use_obj = (c.instance_obj and c.num_objects > 0 and tracks is not None
+                   and "timestamp" in batch)
+        if use_obj:
+            obj_pose = objlib.get_pose(batch["timestamp"], tracks)
+
+        ray_history = []
+        renderings = []
+        for i_level in range(num_levels):
+            is_prop = i_level < num_levels - 1
+            num_samples = (c.num_prop_samples[i_level] if is_prop
+                           else c.num_nerf_samples)
+
+            dilation = (c.dilation_bias + c.dilation_multiplier
+                        * (init_s_far - init_s_near) / prod_num_samples)
+            prod_num_samples *= num_samples
+
+            use_dilation = c.dilation_bias > 0 or c.dilation_multiplier > 0
+            if i_level > 0 and use_dilation:
+                sdist, weights = stepfun.max_dilate_weights(
+                    sdist, weights, dilation,
+                    domain=(init_s_near, init_s_far), renormalize=True)
+                sdist = sdist[..., 1:-1]
+                weights = weights[..., 1:-1]
+
+            anneal = (_bias(train_frac, c.anneal_slope)
+                      if c.anneal_slope > 0 else 1.0)
+
+            logits_resample = jnp.where(
+                sdist[..., 1:] > sdist[..., :-1],
+                anneal * jnp.log(weights + c.resample_padding), -jnp.inf)
+
+            if key is not None:
+                key, key_sample, key_cast, key_mlp = jax.random.split(key, 4)
+            else:
+                key_sample = key_cast = key_mlp = None
+
+            sdist = stepfun.sample_intervals(
+                key_sample, sdist, logits_resample, num_samples,
+                single_jitter=c.single_jitter,
+                domain=(init_s_near, init_s_far))
+
+            if c.stop_level_grad:
+                sdist = jax.lax.stop_gradient(sdist)
+
+            tdist = s_to_t(sdist)
+
+            means, stds = render.cast_rays(
+                tdist, batch["origins"], batch["directions"],
+                batch["base_x"], batch["base_y"], batch["radii"],
+                key=key_cast, n=c.sample_n, m=c.sample_m,
+                std_scale=c.std_scale)
+
+            mlp = self.prop_mlps[i_level] if is_prop else self.nerf_mlp
+            ray_results = mlp(
+                means, stds,
+                viewdirs=batch["viewdirs"] if c.use_viewdirs else None,
+                glo_vec=None if is_prop else glo_vec,
+                key=key_mlp)
+
+            # Dynamic-object compositing: replace field predictions inside
+            # object boxes with the (shared, latent-conditioned) obj MLP.
+            if use_obj:
+                t_mids = 0.5 * (tdist[..., :-1] + tdist[..., 1:])
+                pts_w = (t_mids[..., None] * batch["directions"][..., None, :]
+                         + batch["origins"][..., None, :])
+                ray_results = objlib.composite_objects(
+                    self.obj_mlp,
+                    self.obj_latents if c.latent_size > 0 else None,
+                    pts_w, batch["viewdirs"], obj_pose, track_mask,
+                    ray_results, is_prop=is_prop)
+
+            weights, _, _ = render.compute_alpha_weights(
+                ray_results["density"], tdist, batch["directions"],
+                opaque_background=c.opaque_background)
+
+            if c.bg_intensity_range[0] == c.bg_intensity_range[1]:
+                bg_rgbs = c.bg_intensity_range[0]
+            elif key is None:
+                bg_rgbs = (c.bg_intensity_range[0]
+                           + c.bg_intensity_range[1]) / 2
+            else:
+                key, sub = jax.random.split(key)
+                minval, maxval = c.bg_intensity_range
+                bg_rgbs = jax.random.uniform(
+                    sub, weights.shape[:-1] + (3,),
+                    minval=minval, maxval=maxval)
+
+            is_final = i_level == num_levels - 1
+            sem = ray_results["semantic"] if (is_final and c.use_semantic) else None
+            intensity = (ray_results["intensity"]
+                         if (is_final and c.use_intensity) else None)
+            rendering = render.volumetric_rendering(
+                ray_results["rgb"], weights, tdist, bg_rgbs, batch["far"],
+                compute_extras, semantic=sem, intensity=intensity,
+                extras={k: v for k, v in ray_results.items()
+                        if k.startswith("normals") and v is not None},
+                sem_detach=c.sem_detach)
+
+            if use_obj and "obj_mask" in ray_results:
+                rendering["obj_mask"] = ray_results["obj_mask"].sum(-1) > 0
+
+            renderings.append(rendering)
+            ray_results = dict(ray_results)
+            ray_results["sdist"] = sdist
+            ray_results["weights"] = weights
+            ray_results["tdist"] = tdist
+            ray_history.append(ray_results)
+
+        return renderings, ray_history
+
+
+def render_rays(model: Model, params, key, batch, **kw):
+    """Convenience functional apply."""
+    return model.apply(params, key, batch, **kw)

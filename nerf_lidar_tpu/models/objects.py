@@ -1,0 +1,197 @@
+"""Dynamic-object (vehicle) handling: tracks, box transforms, compositing.
+
+TPU-native redesign of reference internal/obj_utils.py + the per-track loop
+in models.py:400-477. The reference iterates Python-side over tracks and
+boolean-indexes the intersecting samples (data-dependent shapes); here the
+track set is padded to a static `num_objects`, every (ray, sample, object)
+triple is evaluated with a shared latent-conditioned ObjMLP, and compositing
+is a masked `where` with last-intersecting-object priority (matching the
+reference's sequential overwrite order). Cost is bounded by num_objects x a
+tiny 32-wide MLP; a gather-compaction fast path can be added later without
+changing semantics.
+
+Track tensor layout (padded): tracks[N_obj, T, 9] rows =
+  [cx, cy, cz, theta_z, w, l, h, time, track_id]
+with wlh == 0 rows meaning "object absent at this time" (zero-size box
+never intersects), exactly the reference's invalid-bbox convention
+(obj_utils.py:384-392).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def rotate_z(p: jax.Array, theta: jax.Array) -> jax.Array:
+    """Rotate points about +z by theta (proper rotation).
+
+    Note: the reference's rotate_yaw_z (obj_utils.py:76-114) reuses the
+    already-rotated x when computing y — a sequential-assignment slip that
+    makes it a shear, not a rotation. We implement the correct rotation and
+    use it consistently on both forward and inverse paths, so box tests
+    remain self-consistent.
+    """
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    x = c * p[..., 0] - s * p[..., 1]
+    y = s * p[..., 0] + c * p[..., 1]
+    return jnp.stack([x, y, p[..., 2]], axis=-1)
+
+
+def world2object(pts, dirs, center, theta_z, wlh):
+    """World frame -> unit-box object frames.
+
+    pts: [..., 3]; dirs: [..., 3]; center/theta_z/wlh broadcastable against
+    pts' batch dims. The object frame scales the box to [-1, 1]^3.
+    Returns (pts_o, dirs_o_normalized).
+    """
+    # Origin of world in object frame.
+    t_w_o = rotate_z(-center, theta_z)
+    pts_o = rotate_z(pts, theta_z) + t_w_o
+    dirs_o = rotate_z(dirs, theta_z)
+    inv_half = 1.0 / (wlh / 2.0 + 1e-9)
+    pts_o = pts_o * inv_half
+    dirs_o = dirs_o * inv_half
+    dirs_o = dirs_o / jnp.maximum(
+        jnp.linalg.norm(dirs_o, axis=-1, keepdims=True), 1e-9)
+    return pts_o, dirs_o
+
+
+def object2world(pts_o, dirs_o, center, theta_z, wlh):
+    """Inverse of world2object."""
+    half = wlh / 2.0 + 1e-9
+    pts = pts_o * half
+    t_w_o = rotate_z(-center, theta_z)
+    pts = rotate_z(pts - t_w_o, -theta_z)
+    dirs = None
+    if dirs_o is not None:
+        dirs = rotate_z(dirs_o * half, -theta_z)
+        dirs = dirs / jnp.maximum(
+            jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-9)
+    return pts, dirs
+
+
+def box_pts(pts, viewdirs, obj_pose):
+    """Transform samples into every object's unit box and test containment.
+
+    pts: [R, S, 3] world points; viewdirs: [R, 3];
+    obj_pose: [R, N_obj, >=7] with [:3]=center, [3]=theta_z, [4:7]=wlh.
+    Returns pts_o [R, S, N_obj, 3], dirs_o [R, S, N_obj, 3],
+    intersection [R, S, N_obj] bool.
+    """
+    center = obj_pose[:, None, :, :3]
+    theta_z = obj_pose[:, None, :, 3]
+    wlh = obj_pose[:, None, :, 4:7]
+    p = pts[:, :, None, :]
+    d = jnp.broadcast_to(viewdirs[:, None, None, :], p.shape)
+    pts_o, dirs_o = world2object(p, d, center, theta_z, wlh)
+    valid_box = jnp.all(wlh > 0, axis=-1)
+    inter = (jnp.all(jnp.abs(pts_o) < 1.0, axis=-1)) & valid_box
+    return pts_o, dirs_o, jax.lax.stop_gradient(inter)
+
+
+def ray_box_intersection(ray_o, ray_d):
+    """Slab test against the unit box. ray_o/ray_d: [..., 3] in box frame.
+
+    Returns (t_near, t_far, hit) with static shapes (hit is a bool mask
+    instead of the reference's data-dependent torch.where indices,
+    obj_utils.py:313-356).
+    """
+    inv_d = 1.0 / jnp.where(jnp.abs(ray_d) < 1e-12,
+                            jnp.where(ray_d < 0, -1e-12, 1e-12), ray_d)
+    t_min = (-1.0 - ray_o) * inv_d
+    t_max = (1.0 - ray_o) * inv_d
+    t0 = jnp.minimum(t_min, t_max)
+    t1 = jnp.maximum(t_min, t_max)
+    t_near = jnp.max(t0, axis=-1)
+    t_far = jnp.min(t1, axis=-1)
+    hit = (t_far > t_near) & (t_far > 0)
+    return t_near, t_far, hit
+
+
+def get_pose(time: jax.Array, tracks: jax.Array) -> jax.Array:
+    """Interpolate per-ray object poses from track tensors.
+
+    time: [R] or [R, 1]; tracks: [N_obj, T, F] with column -2 = timestamp.
+    Returns obj_pose [R, N_obj, F]: 2-nearest-neighbor linear interpolation
+    over timestamps (reference obj_utils.py:431-473).
+    """
+    if time.ndim == 2:
+        time = time[..., 0]
+    ttimes = tracks[:, :, -2]  # [N_obj, T]
+    diff = jnp.abs(time[:, None, None] - ttimes[None])  # [R, N_obj, T]
+    # Two closest timestamps.
+    neg, idx = jax.lax.top_k(-diff, 2)  # [R, N_obj, 2]
+    t1 = jnp.take_along_axis(ttimes[None].repeat(time.shape[0], 0),
+                             idx[..., 0], axis=-1)
+    t2 = jnp.take_along_axis(ttimes[None].repeat(time.shape[0], 0),
+                             idx[..., 1], axis=-1)
+    total = jnp.abs(t1 - t2) + 1e-9
+    w1 = jnp.clip(jnp.abs(time[:, None] - t2) / total, 0, 1)
+    w2 = 1.0 - w1
+    tr = tracks[None]  # [1, N_obj, T, F]
+    gather = lambda i: jnp.take_along_axis(
+        jnp.broadcast_to(tr, (time.shape[0],) + tracks.shape),
+        i[..., None, None].repeat(tracks.shape[-1], -1), axis=-2)[..., 0, :]
+    info1 = gather(idx[..., 0])
+    info2 = gather(idx[..., 1])
+    return w1[..., None] * info1 + w2[..., None] * info2
+
+
+def composite_objects(obj_mlp, obj_latents: Optional[jax.Array],
+                      pts_w: jax.Array, viewdirs: jax.Array,
+                      obj_pose: jax.Array, track_mask: Optional[jax.Array],
+                      ray_results: Dict[str, jax.Array],
+                      is_prop: bool) -> Dict[str, jax.Array]:
+    """Overwrite field predictions inside object boxes with ObjMLP output.
+
+    pts_w: [R, S, 3]; obj_pose: [R, N_obj, F]; obj_latents: [N_obj, Z] or
+    None; track_mask: [N_obj] bool validity of padded slots.
+    """
+    R, S = pts_w.shape[:2]
+    pts_o, dirs_o, inter = box_pts(pts_w, viewdirs, obj_pose)  # [R,S,N,*]
+    if track_mask is not None:
+        inter = inter & track_mask[None, None, :]
+    n_obj = inter.shape[-1]
+
+    def eval_one(o):
+        p = pts_o[:, :, o, :][..., None, :]  # [R, S, 1, 3] (n=1 multisample)
+        stds = jnp.zeros(p.shape[:-1])
+        lat = None
+        if obj_latents is not None:
+            lat = jnp.broadcast_to(obj_latents[o], (R, S) + obj_latents[o].shape)
+        return obj_mlp(p, stds, viewdirs=dirs_o[:, :, o, :].mean(axis=1),
+                       latent=lat)
+
+    # Evaluate the shared MLP for each object slot (static unrolled loop:
+    # n_obj is a config constant; each eval is a tiny GEMM batch).
+    outs = [eval_one(o) for o in range(n_obj)]
+
+    if is_prop:
+        outs = [jax.tree.map(
+            lambda v: jax.lax.stop_gradient(v) if v is not None else None, o)
+            for o in outs]
+
+    # Last intersecting object wins (reference overwrite order).
+    results = dict(ray_results)
+    for key in ("density", "rgb", "semantic", "intensity"):
+        base = results.get(key)
+        if base is None:
+            continue
+        merged = base
+        for o in range(n_obj):
+            ov = outs[o].get(key)
+            if ov is None:
+                continue
+            m = inter[:, :, o]
+            if ov.ndim == merged.ndim:
+                mm = m if merged.ndim == 2 else m[..., None]
+            else:
+                mm = m[..., None] if merged.ndim == 3 else m
+            merged = jnp.where(mm, ov, merged)
+        results[key] = merged
+
+    results["obj_mask"] = inter
+    return results

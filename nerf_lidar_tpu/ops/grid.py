@@ -1,0 +1,201 @@
+"""Multiresolution hash-grid encoder (instant-ngp style), TPU-native.
+
+Functional re-implementation of the reference CUDA gridencoder
+(NeRF_LiDAR/zipnerf/gridencoder/src/gridencoder.cu, grid.py) with identical
+indexing semantics:
+
+- per level l: scale_l = exp2(l * log2(per_level_scale)) * H - 1,
+  positions pos = x01 * scale_l + 0.5 (align_corners=False),
+  trilinear interpolation over the 8 corners (gridencoder.cu:141-191);
+- tiled (direct) indexing with stride `R_l = ceil(H * s^l) + 1` when
+  R_l^3 fits the hashmap, XOR-prime hashing otherwise
+  (gridencoder.cu:50-84), final index mod hashmap_size;
+- per-level row counts min(2^log2_hashmap_size, R_l^3) rounded up to 8
+  (grid.py:127-135) stacked into one [total_rows, C] table so the
+  hash-decay loss can segment rows by level.
+
+TPU mapping: hashing + corner-weight math are fused elementwise VPU work;
+the 8-corner lookup is a single XLA gather per level; the backward is the
+gather transpose — a *deterministic* scatter-add (unlike the reference's
+CUDA atomicAdd, gridencoder.cu:248-340). A Pallas kernel with the same
+signature lives in ops/grid_pallas.py for the hot path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_PRIMES = (1, 2654435761, 805459861)
+
+
+@dataclasses.dataclass(frozen=True)
+class HashGridSpec:
+    """Static description of a multiresolution hash grid (hashable, so it can
+    be closed over by jit)."""
+    num_levels: int = 10
+    level_dim: int = 4
+    base_resolution: int = 16
+    desired_resolution: int = 8192
+    log2_hashmap_size: int = 21
+    input_dim: int = 3
+
+    @property
+    def per_level_scale(self) -> float:
+        if self.num_levels <= 1:
+            return 1.0
+        return float(np.exp2(
+            np.log2(self.desired_resolution / self.base_resolution)
+            / (self.num_levels - 1)))
+
+    @property
+    def scales(self) -> Tuple[float, ...]:
+        """Continuous grid scale per level: exp2(l*S)*H - 1."""
+        s = self.per_level_scale
+        return tuple(
+            float(np.exp2(l * np.log2(s)) * self.base_resolution - 1.0)
+            for l in range(self.num_levels))
+
+    @property
+    def resolutions(self) -> Tuple[int, ...]:
+        """Grid side length per level (= reference grid.py resolution,
+        align_corners=False): ceil(H * s^l) + 1."""
+        s = self.per_level_scale
+        return tuple(
+            int(np.ceil(self.base_resolution * s**l)) + 1
+            for l in range(self.num_levels))
+
+    @property
+    def rows_per_level(self) -> Tuple[int, ...]:
+        max_rows = 2**self.log2_hashmap_size
+        out = []
+        for r in self.resolutions:
+            n = min(max_rows, r**self.input_dim)
+            out.append(int(np.ceil(n / 8) * 8))
+        return tuple(out)
+
+    @property
+    def offsets(self) -> Tuple[int, ...]:
+        offs = [0]
+        for n in self.rows_per_level:
+            offs.append(offs[-1] + n)
+        return tuple(offs)
+
+    @property
+    def total_rows(self) -> int:
+        return self.offsets[-1]
+
+    @property
+    def output_dim(self) -> int:
+        return self.num_levels * self.level_dim
+
+    def is_tiled(self, level: int) -> bool:
+        """Direct (tiled) indexing when the full grid fits the hashmap."""
+        r = self.resolutions[level]
+        return r**self.input_dim <= self.rows_per_level[level]
+
+    def level_ids(self) -> np.ndarray:
+        """Level id per table row — the segment ids for the hash-decay loss."""
+        ids = np.zeros(self.total_rows, dtype=np.int32)
+        for l in range(self.num_levels):
+            ids[self.offsets[l]:self.offsets[l + 1]] = l
+        return ids
+
+    def grid_sizes(self) -> np.ndarray:
+        """Per-level resolutions used by the erf multisample downweighting."""
+        return np.asarray(self.resolutions, dtype=np.float32)
+
+    def init_table(self, key: jax.Array, std: float = 1e-4,
+                   dtype=jnp.float32) -> jax.Array:
+        return jax.random.uniform(
+            key, (self.total_rows, self.level_dim), dtype=dtype,
+            minval=-std, maxval=std)
+
+
+# The 8 unit-cube corners, shaped for broadcasting: [8, 3].
+_CORNERS3 = np.array(
+    [[(c >> d) & 1 for d in range(3)] for c in range(8)], dtype=np.int32)
+
+
+def _level_indices(spec: HashGridSpec, level: int,
+                   corner_pos: jax.Array) -> jax.Array:
+    """Row index within level `level` for integer corner coords [..., 3]."""
+    rows = spec.rows_per_level[level]
+    cp = corner_pos.astype(jnp.uint32)
+    if spec.is_tiled(level):
+        r = jnp.uint32(spec.resolutions[level])
+        idx = cp[..., 0] + cp[..., 1] * r + cp[..., 2] * r * r
+    else:
+        idx = (cp[..., 0] * jnp.uint32(_PRIMES[0])
+               ^ cp[..., 1] * jnp.uint32(_PRIMES[1])
+               ^ cp[..., 2] * jnp.uint32(_PRIMES[2]))
+    return (idx % jnp.uint32(rows)).astype(jnp.int32)
+
+
+def hash_encode(table: jax.Array, x01: jax.Array,
+                spec: HashGridSpec) -> jax.Array:
+    """Encode positions with a multiresolution hash grid.
+
+    Args:
+      table: [total_rows, level_dim] stacked per-level embeddings.
+      x01: [..., 3] positions in [0, 1]; out-of-range inputs encode to 0
+        (matching gridencoder.cu:110-135).
+      spec: static grid description.
+
+    Returns:
+      [..., num_levels * level_dim] features.
+    """
+    batch_shape = x01.shape[:-1]
+    x = x01.reshape(-1, spec.input_dim)
+    n = x.shape[0]
+
+    oob = jnp.any((x < 0.0) | (x > 1.0), axis=-1)  # [N]
+    corners = jnp.asarray(_CORNERS3)
+
+    outs = []
+    for l in range(spec.num_levels):
+        scale = spec.scales[l]
+        pos = x * scale + 0.5
+        pos_grid = jnp.floor(pos)
+        frac = pos - pos_grid
+        # Corner coords [N, 8, 3] and trilinear weights [N, 8].
+        cg = pos_grid[:, None, :].astype(jnp.int32) + corners[None, :, :]
+        w = jnp.prod(
+            jnp.where(corners[None, :, :] == 0, 1.0 - frac[:, None, :],
+                      frac[:, None, :]), axis=-1)
+        idx = _level_indices(spec, l, cg)  # [N, 8]
+        tbl = jax.lax.slice_in_dim(table, spec.offsets[l], spec.offsets[l + 1])
+        feats = tbl[idx]  # gather: [N, 8, C]
+        out_l = jnp.einsum("nc,ncd->nd", w.astype(feats.dtype), feats)
+        outs.append(out_l)
+
+    out = jnp.stack(outs, axis=-2)  # [N, L, C]
+    out = jnp.where(oob[:, None, None], 0.0, out)
+    return out.reshape(batch_shape + (spec.output_dim,))
+
+
+def hash_encode_multisample(table: jax.Array, x01: jax.Array, stds: jax.Array,
+                            spec: HashGridSpec,
+                            grid_sizes: jax.Array) -> jax.Array:
+    """Encode n multisample points and reduce with erf downweighting.
+
+    x01: [..., n, 3] in [0,1]; stds: [..., n] isotropic Gaussian stds in the
+    same normalized coordinates. Implements the ZipNeRF featurization
+    weights = erf(1 / sqrt(8 * std^2 * g_l^2)) and the mean over the n
+    multisamples (reference models.py:974-977) in one call so the Pallas
+    path can fuse it.
+
+    Returns ([..., L*C] features, [..., n, L] weights).
+    """
+    feats = hash_encode(table, x01, spec)  # [..., n, L*C]
+    shape = feats.shape[:-1] + (spec.num_levels, spec.level_dim)
+    feats = feats.reshape(shape)
+    weights = jax.lax.erf(
+        1.0 / jnp.sqrt(jnp.maximum(
+            8.0 * stds[..., None] ** 2 * grid_sizes**2, 1e-10)))
+    out = (feats * weights[..., None]).mean(axis=-3)
+    return out.reshape(out.shape[:-2] + (spec.output_dim,)), weights

@@ -1,0 +1,145 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerf_lidar_tpu.ops import grid
+
+
+def _small_spec():
+    return grid.HashGridSpec(num_levels=4, level_dim=2, base_resolution=4,
+                             desired_resolution=32, log2_hashmap_size=8)
+
+
+def _reference_encode_numpy(table, x01, spec):
+    """Straight-line numpy oracle following gridencoder.cu semantics."""
+    primes = (1, 2654435761, 805459861)
+    N = x01.shape[0]
+    out = np.zeros((N, spec.num_levels, spec.level_dim), np.float32)
+    for l in range(spec.num_levels):
+        scale = spec.scales[l]
+        rows = spec.rows_per_level[l]
+        tbl = table[spec.offsets[l]:spec.offsets[l + 1]]
+        for i in range(N):
+            if np.any(x01[i] < 0) or np.any(x01[i] > 1):
+                continue
+            pos = x01[i] * scale + 0.5
+            pg = np.floor(pos).astype(np.uint64)
+            f = pos - pg
+            acc = np.zeros(spec.level_dim, np.float32)
+            for c in range(8):
+                w = 1.0
+                cg = np.zeros(3, np.uint64)
+                for d in range(3):
+                    if (c >> d) & 1:
+                        w *= f[d]
+                        cg[d] = pg[d] + 1
+                    else:
+                        w *= 1 - f[d]
+                        cg[d] = pg[d]
+                if spec.is_tiled(l):
+                    r = spec.resolutions[l]
+                    idx = int(cg[0] + cg[1] * r + cg[2] * r * r)
+                else:
+                    idx = int((np.uint32(cg[0]) * np.uint32(primes[0]))
+                              ^ (np.uint32(cg[1] * primes[1]))
+                              ^ (np.uint32(cg[2] * primes[2])))
+                acc += w * tbl[idx % rows]
+            out[i, l] = acc
+    return out.reshape(N, -1)
+
+
+def test_spec_offsets_and_tiling():
+    spec = _small_spec()
+    # Level 0: res 5 -> 125 rows -> rounded to 128; tiled.
+    assert spec.resolutions[0] == 5
+    assert spec.rows_per_level[0] == 128
+    assert spec.is_tiled(0)
+    # Last level: res 33 -> 35937 > 256 -> hashed with 256 rows.
+    assert not spec.is_tiled(spec.num_levels - 1)
+    assert spec.rows_per_level[-1] == 256
+    assert spec.total_rows == sum(spec.rows_per_level)
+
+
+def test_hash_encode_matches_numpy_oracle():
+    spec = _small_spec()
+    key = jax.random.PRNGKey(0)
+    table = spec.init_table(key, std=1.0)
+    x = np.random.RandomState(0).rand(32, 3).astype(np.float32)
+    got = np.asarray(grid.hash_encode(table, jnp.asarray(x), spec))
+    want = _reference_encode_numpy(np.asarray(table), x, spec)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_hash_encode_out_of_bounds_zero():
+    spec = _small_spec()
+    table = spec.init_table(jax.random.PRNGKey(1), std=1.0)
+    x = jnp.asarray([[1.5, 0.5, 0.5], [-0.1, 0.2, 0.2]])
+    out = grid.hash_encode(table, x, spec)
+    np.testing.assert_allclose(np.asarray(out), 0.0)
+
+
+def test_hash_encode_batch_shape_preserved():
+    spec = _small_spec()
+    table = spec.init_table(jax.random.PRNGKey(2))
+    x = jnp.asarray(np.random.rand(2, 5, 7, 3).astype(np.float32))
+    out = grid.hash_encode(table, x, spec)
+    assert out.shape == (2, 5, 7, spec.output_dim)
+
+
+def test_hash_encode_grad_is_finite_and_nonzero():
+    spec = _small_spec()
+    table = spec.init_table(jax.random.PRNGKey(3))
+    x = jnp.asarray(np.random.RandomState(1).rand(64, 3).astype(np.float32))
+
+    def loss(tbl):
+        return jnp.sum(grid.hash_encode(tbl, x, spec) ** 2)
+
+    g = jax.grad(loss)(table)
+    g = np.asarray(g)
+    assert np.all(np.isfinite(g))
+    assert np.abs(g).sum() > 0
+
+
+def test_hash_encode_input_gradient_continuity():
+    # Feature should be (piecewise) smooth in x inside a cell: check the jvp
+    # matches finite differences.
+    spec = _small_spec()
+    table = spec.init_table(jax.random.PRNGKey(4), std=1.0)
+    x0 = jnp.asarray([[0.331, 0.522, 0.713]])
+    v = jnp.asarray([[1.0, 0.0, 0.0]])
+    f = lambda x: grid.hash_encode(table, x, spec)
+    _, jvp = jax.jvp(f, (x0,), (v,))
+    eps = 1e-4
+    fd = (f(x0 + eps * v) - f(x0 - eps * v)) / (2 * eps)
+    np.testing.assert_allclose(np.asarray(jvp), np.asarray(fd),
+                               rtol=1e-2, atol=1e-2)
+
+
+def test_multisample_erf_downweighting():
+    spec = _small_spec()
+    table = spec.init_table(jax.random.PRNGKey(5), std=1.0)
+    gs = jnp.asarray(spec.grid_sizes())
+    x = jnp.asarray(np.random.RandomState(2).rand(4, 6, 3).astype(np.float32))
+    stds_small = jnp.full((4, 6), 1e-6)
+    stds_large = jnp.full((4, 6), 10.0)
+    f_small, w_small = grid.hash_encode_multisample(table, x, stds_small, spec, gs)
+    f_large, w_large = grid.hash_encode_multisample(table, x, stds_large, spec, gs)
+    assert f_small.shape == (4, spec.output_dim)
+    # Tiny stds -> erf ~ 1; huge stds -> erf ~ 0.
+    np.testing.assert_allclose(np.asarray(w_small), 1.0, atol=1e-4)
+    assert np.max(np.abs(np.asarray(w_large))) < 0.05
+    assert np.max(np.abs(np.asarray(f_large))) < np.max(np.abs(np.asarray(f_small)))
+
+
+def test_nerf_scale_spec_matches_reference_levels():
+    # NerfMLP defaults: base 16 -> 8192, interval 2 => 10 levels
+    # (reference models.py:867).
+    num = int(np.log(8192 / 16) / np.log(2)) + 1
+    spec = grid.HashGridSpec(num_levels=num, level_dim=4, base_resolution=16,
+                             desired_resolution=8192, log2_hashmap_size=21)
+    assert spec.num_levels == 10
+    assert spec.resolutions[0] == 17
+    assert spec.resolutions[-1] == 8193
+    assert spec.rows_per_level[-1] == 2**21
+    assert spec.is_tiled(0) and not spec.is_tiled(9)
