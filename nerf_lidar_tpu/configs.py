@@ -103,6 +103,9 @@ class ModelConfig:
     # Dynamic objects.
     instance_obj: bool = False
     num_objects: int = 0  # static upper bound on tracked objects
+    # Rematerialize MLP activations in backward: the encode/MLP activations
+    # at batch x samples x 7 multisamples dominate HBM; recompute is cheap.
+    remat: bool = True
     latent_size: int = 0
     symmetrize: bool = False
     # MLP blocks (gin alias analog).

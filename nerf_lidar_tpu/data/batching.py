@@ -1,0 +1,198 @@
+"""Mixed patch / pixel / LiDAR ray batching (host-side numpy).
+
+Mirrors the reference's training batch composition (datasets.py:352-403,
+707-749): per step,
+  - batch_size // 4 rays come from patch_size^2 patches (first in the batch,
+    row-major per patch) for the smoothness losses,
+  - the rest are independent random pixels,
+  - if lidar_supervision, an extra batch_size // lidar_batch_ratio rays are
+    real LiDAR returns (depth/intensity supervision only).
+
+All mask fields follow the semantics set up in train.py:286-324 and are
+emitted as static-shape arrays (TPU-native replacement of the reference's
+boolean indexing). Everything stays in numpy on the host; batches are fed to
+the jitted step via device_put with a batch-axis sharding.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import numpy as np
+
+from . import camera as camlib
+
+
+@dataclasses.dataclass
+class SceneData:
+    """In-memory scene: cameras + per-view supervision + LiDAR returns."""
+    camtoworlds: np.ndarray  # [N, 3, 4]
+    pixtocam: np.ndarray  # [3, 3]
+    images: np.ndarray  # [N, H, W, 3] float in [0, 1]
+    near: float
+    far: float
+    depths: Optional[np.ndarray] = None  # [N, H, W] metric (scene units)
+    semantics: Optional[np.ndarray] = None  # [N, H, W] int (255 = unlabeled)
+    masks: Optional[np.ndarray] = None  # [N, H, W] 1 = exclude from losses
+    timestamps: Optional[np.ndarray] = None  # [N]
+    # LiDAR supervision rays (already in scene coordinates).
+    lidar_origins: Optional[np.ndarray] = None  # [L, 3]
+    lidar_dirs: Optional[np.ndarray] = None  # [L, 3] unit
+    lidar_depth: Optional[np.ndarray] = None  # [L]
+    lidar_intensity: Optional[np.ndarray] = None  # [L]
+    lidar_timestamps: Optional[np.ndarray] = None  # [L]
+
+    @property
+    def num_views(self) -> int:
+        return self.camtoworlds.shape[0]
+
+    @property
+    def height(self) -> int:
+        return self.images.shape[1]
+
+    @property
+    def width(self) -> int:
+        return self.images.shape[2]
+
+
+LIDAR_RADIUS = 5e-4  # reference internal/lidar_utils.py:8-33
+
+
+def cast_lidar_rays(origins: np.ndarray, dirs: np.ndarray, near: float,
+                    far: float) -> Dict[str, np.ndarray]:
+    """LiDAR ray fields: radii 5e-4, base_x = base_y = dir (the multisample
+    spiral degenerates onto the beam axis), reference lidar_utils.py:8-33."""
+    n = origins.shape[0]
+    viewdirs = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
+    return dict(
+        origins=origins.astype(np.float32),
+        directions=viewdirs.astype(np.float32),
+        viewdirs=viewdirs.astype(np.float32),
+        radii=np.full((n, 1), LIDAR_RADIUS, np.float32),
+        base_x=viewdirs.astype(np.float32),
+        base_y=viewdirs.astype(np.float32),
+        near=np.full((n, 1), near, np.float32),
+        far=np.full((n, 1), far, np.float32))
+
+
+class RayBatcher:
+    """Samples fixed-size training batches from a SceneData."""
+
+    def __init__(self, scene: SceneData, batch_size: int, patch_size: int = 1,
+                 lidar_supervision: bool = False, lidar_batch_ratio: int = 4,
+                 seed: int = 0):
+        self.scene = scene
+        self.batch_size = batch_size
+        self.patch_size = max(patch_size, 1)
+        self.lidar_supervision = (lidar_supervision
+                                  and scene.lidar_origins is not None)
+        self.lidar_batch = (batch_size // lidar_batch_ratio
+                            if self.lidar_supervision else 0)
+        self.rng = np.random.RandomState(seed)
+        if self.patch_size > 1:
+            patch_ray_budget = batch_size // 4
+            self.num_patches = patch_ray_budget // self.patch_size**2
+        else:
+            self.num_patches = 0
+        self.num_patch_rays = self.num_patches * self.patch_size**2
+        self.num_pixel_rays = batch_size - (
+            self.num_patch_rays if self.patch_size > 1 else 0)
+        # Keep pixel count such that total camera rays == batch_size.
+        if self.patch_size > 1:
+            self.num_pixel_rays = batch_size - self.num_patch_rays
+        self.total_rays = batch_size + self.lidar_batch
+
+    def _sample_pixels(self, num: int, patch_size: int):
+        """Random (x, y, cam) pixel coords, patch-structured when
+        patch_size > 1. Returns flat [num] arrays."""
+        s = self.scene
+        num_patches = num // patch_size**2
+        x0 = self.rng.randint(0, s.width - patch_size + 1,
+                              (num_patches, 1, 1))
+        y0 = self.rng.randint(0, s.height - patch_size + 1,
+                              (num_patches, 1, 1))
+        dy, dx = np.meshgrid(np.arange(patch_size), np.arange(patch_size),
+                             indexing="ij")
+        x = (x0 + dx[None]).reshape(-1)
+        y = (y0 + dy[None]).reshape(-1)
+        cam = self.rng.randint(0, s.num_views, (num_patches, 1, 1))
+        cam = np.broadcast_to(cam, (num_patches, patch_size,
+                                    patch_size)).reshape(-1)
+        return x, y, cam
+
+    def _camera_ray_batch(self, x, y, cam) -> Dict[str, np.ndarray]:
+        s = self.scene
+        rays = camlib.pixels_to_rays(x, y, s.pixtocam,
+                                     s.camtoworlds[cam])
+        n = x.shape[0]
+        batch = dict(rays)
+        batch["near"] = np.full((n, 1), s.near, np.float32)
+        batch["far"] = np.full((n, 1), s.far, np.float32)
+        batch["rgb"] = s.images[cam, y, x].astype(np.float32)
+        batch["depth"] = (s.depths[cam, y, x].astype(np.float32)
+                          if s.depths is not None
+                          else np.zeros(n, np.float32))
+        batch["semantic"] = (s.semantics[cam, y, x].astype(np.int32)
+                             if s.semantics is not None
+                             else np.full(n, 255, np.int32))
+        batch["intensity"] = np.zeros(n, np.float32)
+        excl = (s.masks[cam, y, x].astype(bool)
+                if s.masks is not None else np.zeros(n, bool))
+        batch["exclude"] = excl
+        batch["cam_idx"] = cam.astype(np.int32)[:, None]
+        batch["timestamp"] = (s.timestamps[cam].astype(np.float32)
+                              if s.timestamps is not None
+                              else np.zeros(n, np.float32))
+        batch["lidar_mask"] = np.zeros(n, bool)
+        return batch
+
+    def _lidar_ray_batch(self, num: int) -> Dict[str, np.ndarray]:
+        s = self.scene
+        idx = self.rng.randint(0, s.lidar_origins.shape[0], num)
+        batch = cast_lidar_rays(s.lidar_origins[idx], s.lidar_dirs[idx],
+                                s.near, s.far)
+        batch["rgb"] = np.zeros((num, 3), np.float32)
+        batch["depth"] = s.lidar_depth[idx].astype(np.float32)
+        batch["semantic"] = np.full(num, 255, np.int32)
+        batch["intensity"] = (s.lidar_intensity[idx].astype(np.float32)
+                              if s.lidar_intensity is not None
+                              else np.zeros(num, np.float32))
+        batch["exclude"] = np.zeros(num, bool)
+        batch["cam_idx"] = np.zeros((num, 1), np.int32)
+        batch["timestamp"] = (s.lidar_timestamps[idx].astype(np.float32)
+                              if s.lidar_timestamps is not None
+                              else np.zeros(num, np.float32))
+        batch["lidar_mask"] = np.ones(num, bool)
+        return batch
+
+    def next(self) -> Dict[str, np.ndarray]:
+        parts = []
+        if self.num_patches > 0:
+            x, y, cam = self._sample_pixels(self.num_patch_rays,
+                                            self.patch_size)
+            parts.append(self._camera_ray_batch(x, y, cam))
+        x, y, cam = self._sample_pixels(self.num_pixel_rays, 1)
+        parts.append(self._camera_ray_batch(x, y, cam))
+        if self.lidar_batch > 0:
+            parts.append(self._lidar_ray_batch(self.lidar_batch))
+
+        batch = {k: np.concatenate([p[k] for p in parts], axis=0)
+                 for k in parts[0].keys()}
+
+        # Loss masks (train.py:286-324 semantics).
+        n = batch["rgb"].shape[0]
+        exclude = batch["exclude"]
+        lidar = batch["lidar_mask"]
+        patch_mask = np.zeros(n, bool)
+        patch_mask[: self.num_patch_rays] = True
+        rgb_mask = (~exclude) & (~patch_mask) & (~lidar)
+        depth_mask = ((batch["depth"] > 0) & rgb_mask) | lidar
+        sem_mask = (batch["semantic"] != 255) & rgb_mask & (~lidar)
+        batch["rgb_mask"] = rgb_mask
+        batch["depth_mask"] = depth_mask
+        batch["sem_mask"] = sem_mask
+        batch["patch_mask"] = patch_mask
+        batch["loss_mask"] = ~exclude
+        del batch["exclude"]
+        return batch

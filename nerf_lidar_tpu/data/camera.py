@@ -1,0 +1,153 @@
+"""Camera ray casting and pose normalization (host-side numpy).
+
+Faithful to reference internal/camera_utils.py semantics: OpenCV->OpenGL
+axis flip, half-pixel centers, mip-NeRF cone radii from neighbor-pixel
+deltas, and the ZipNeRF pixel-plane basis vectors base_x/base_y
+(camera_utils.py:454-564) consumed by multisample ray casting. Stays in
+numpy: ray generation is part of the input pipeline, not the XLA graph.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+
+def intrinsic_matrix(fx, fy, cx, cy) -> np.ndarray:
+    return np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float32)
+
+
+def get_pixtocam(focal, width, height) -> np.ndarray:
+    """Inverse intrinsics for a centered pinhole camera."""
+    return np.linalg.inv(
+        intrinsic_matrix(focal, focal, width * 0.5, height * 0.5)).astype(
+            np.float32)
+
+
+def pixels_to_rays(pix_x_int, pix_y_int, pixtocams, camtoworlds):
+    """Pixel coords -> world rays (perspective pinhole).
+
+    pix_x_int/pix_y_int: int arrays of any shape SH; pixtocams broadcastable
+    to SH + [3,3]; camtoworlds broadcastable to SH + [3,4] in OpenGL
+    convention (x right, y up, z backward).
+
+    Returns dict with origins, directions, viewdirs, radii [SH,1], base_x,
+    base_y (unit pixel-plane bases, camera_utils.py:540-548).
+    """
+    def pix_to_dir(x, y):
+        return np.stack([x + 0.5, y + 0.5, np.ones_like(x, np.float32)],
+                        axis=-1)
+
+    pixel_dirs_stacked = np.stack([
+        pix_to_dir(pix_x_int, pix_y_int),
+        pix_to_dir(pix_x_int + 1, pix_y_int),
+        pix_to_dir(pix_x_int, pix_y_int + 1)], axis=0)
+
+    mat_vec_mul = lambda A, b: np.matmul(A, b[..., None])[..., 0]
+    camera_dirs_stacked = mat_vec_mul(pixtocams, pixel_dirs_stacked)
+    # OpenCV -> OpenGL.
+    camera_dirs_stacked = camera_dirs_stacked @ np.diag(
+        np.array([1.0, -1.0, -1.0], np.float32))
+
+    directions_stacked = mat_vec_mul(camtoworlds[..., :3, :3],
+                                     camera_dirs_stacked)
+    directions, dx, dy = directions_stacked
+    origins = np.broadcast_to(camtoworlds[..., :3, -1], directions.shape)
+    viewdirs = directions / np.linalg.norm(directions, axis=-1, keepdims=True)
+
+    pix_x = dx - directions
+    pix_y = dy - directions
+    dx_norm = np.linalg.norm(pix_x, axis=-1)
+    dy_norm = np.linalg.norm(pix_y, axis=-1)
+    base_x = pix_x / np.linalg.norm(pix_x, axis=-1, keepdims=True)
+    base_y = pix_y / np.linalg.norm(pix_y, axis=-1, keepdims=True)
+    radii = (0.5 * (dx_norm + dy_norm))[..., None] * 2 / np.sqrt(12)
+
+    return dict(
+        origins=np.ascontiguousarray(origins, np.float32),
+        directions=directions.astype(np.float32),
+        viewdirs=viewdirs.astype(np.float32),
+        radii=radii.astype(np.float32),
+        base_x=base_x.astype(np.float32),
+        base_y=base_y.astype(np.float32))
+
+
+def camera_rays(camtoworld: np.ndarray, height: int, width: int,
+                focal: float) -> Dict[str, np.ndarray]:
+    """Full-image ray grid for a pinhole camera: [H, W, ...] fields."""
+    x, y = np.meshgrid(np.arange(width), np.arange(height))
+    pixtocam = get_pixtocam(focal, width, height)
+    return pixels_to_rays(x, y, pixtocam, camtoworld)
+
+
+def focus_point_fn(poses: np.ndarray) -> np.ndarray:
+    """Point nearest to all camera optical axes (least squares)."""
+    directions, origins = poses[:, :3, 2:3], poses[:, :3, 3:4]
+    m = np.eye(3) - directions * np.transpose(directions, [0, 2, 1])
+    mt_m = np.transpose(m, [0, 2, 1]) @ m
+    return np.linalg.inv(mt_m.mean(0)) @ (mt_m @ origins).mean(0)[:, 0]
+
+
+def transform_poses_pca(poses: np.ndarray
+                        ) -> Tuple[np.ndarray, np.ndarray, float]:
+    """Recenter/rotate poses onto PCA axes and rescale into [-1, 1].
+
+    Reference camera_utils.py:162-203: returns (new poses [N,3,4],
+    transform [4,4], scale) with scale clamped to at most 1/10 so far
+    content stays within the contraction shell. World-to-new transform is
+    `scale * transform`.
+    """
+    t = poses[:, :3, 3]
+    t_mean = t.mean(axis=0)
+    t = t - t_mean
+
+    eigval, eigvec = np.linalg.eig(t.T @ t)
+    inds = np.argsort(eigval)[::-1]
+    eigvec = eigvec[:, inds]
+    rot = eigvec.T
+    if np.linalg.det(rot) < 0:
+        rot = np.diag(np.array([1, 1, -1])) @ rot
+
+    transform = np.concatenate([rot, rot @ -t_mean[:, None]], -1)
+    poses_recentered = unpad_poses(transform @ pad_poses(poses))
+    transform = np.concatenate([transform, np.eye(4)[3:]], axis=0)
+
+    # Flip coordinate system if z component of y-axis is negative.
+    if poses_recentered.mean(axis=0)[2, 1] < 0:
+        poses_recentered = np.diag(np.array([1, -1, -1])) @ poses_recentered
+        transform = np.diag(np.array([1, -1, -1, 1])) @ transform
+
+    # Just make sure it's it in the [-1, 1]^3 cube (with clamp, reference
+    # camera_utils.py:199).
+    scale_factor = 1.0 / np.max(np.abs(poses_recentered[:, :3, 3]))
+    scale_factor = min(1.0 / 10.0, scale_factor)
+    poses_recentered[:, :3, 3] *= scale_factor
+    transform = np.diag(np.array([scale_factor] * 3 + [1])) @ transform
+
+    return poses_recentered.astype(np.float32), transform.astype(np.float32), \
+        float(scale_factor)
+
+
+def pad_poses(p: np.ndarray) -> np.ndarray:
+    """[..., 3, 4] -> [..., 4, 4]."""
+    bottom = np.broadcast_to([0, 0, 0, 1.0], p[..., :1, :4].shape)
+    return np.concatenate([p[..., :3, :4], bottom], axis=-2)
+
+
+def unpad_poses(p: np.ndarray) -> np.ndarray:
+    return p[..., :3, :4]
+
+
+def lookat_pose(eye: np.ndarray, target: np.ndarray,
+                up: Optional[np.ndarray] = None) -> np.ndarray:
+    """OpenGL camera-to-world [3,4]: -z looks from eye toward target."""
+    if up is None:
+        up = np.array([0.0, 0.0, 1.0])
+    fwd = target - eye
+    fwd = fwd / np.linalg.norm(fwd)
+    z = -fwd  # OpenGL: camera looks down -z
+    x = np.cross(up, z)
+    x = x / np.linalg.norm(x)
+    y = np.cross(z, x)
+    return np.stack([x, y, z, eye], axis=-1).astype(np.float32)

@@ -106,8 +106,15 @@ class ZipMLP(nn.Module):
             stds = stds / bound
         # Map [-1, 1] -> [0, 1] for the grid (reference grid.py:162).
         x01 = (means + 1.0) / 2.0
-        feats, weights = gridlib.hash_encode_multisample(
-            self.table, x01, stds, self.spec, self._grid_sizes)
+        if c.re_weights:
+            feats, weights = gridlib.hash_encode_multisample(
+                self.table, x01, stds, self.spec, self._grid_sizes)
+        else:
+            # No erf downweighting (obj MLPs, reference models.py:978-979):
+            # plain mean over the multisample axis.
+            raw = gridlib.hash_encode(self.table, x01, self.spec)
+            feats = raw.mean(axis=-2)
+            weights = jnp.ones(stds.shape + (self.spec.num_levels,))
         if c.scale_featurization:
             # Mean squared embedding per level, detached
             # (reference models.py:980-989).

@@ -41,9 +41,10 @@ class Model(nn.Module):
 
     def setup(self):
         c = self.cfg
-        self.nerf_mlp = ZipMLP(c.nerf_mlp)
+        mlp_cls = nn.remat(ZipMLP) if c.remat else ZipMLP
+        self.nerf_mlp = mlp_cls(c.nerf_mlp)
         self.prop_mlps = [
-            ZipMLP(c.prop_mlp_for_level(i))
+            mlp_cls(c.prop_mlp_for_level(i))
             for i in range(len(c.num_prop_samples))]
         if c.num_glo_features > 0:
             self.glo_vecs = nn.Embed(c.num_glo_embeddings, c.num_glo_features)

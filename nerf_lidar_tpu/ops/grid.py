@@ -116,24 +116,61 @@ class HashGridSpec:
             minval=-std, maxval=std)
 
 
-# The 8 unit-cube corners, shaped for broadcasting: [8, 3].
-_CORNERS3 = np.array(
-    [[(c >> d) & 1 for d in range(3)] for c in range(8)], dtype=np.int32)
+# The 8 unit-cube corner offsets.
+_CORNERS3 = [[(c >> d) & 1 for d in range(3)] for c in range(8)]
 
 
-def _level_indices(spec: HashGridSpec, level: int,
-                   corner_pos: jax.Array) -> jax.Array:
-    """Row index within level `level` for integer corner coords [..., 3]."""
+def _corner_index(spec: HashGridSpec, level: int, cx, cy, cz) -> jax.Array:
+    """Row index within `level` for integer corner coords (each [N])."""
     rows = spec.rows_per_level[level]
-    cp = corner_pos.astype(jnp.uint32)
+    cx = cx.astype(jnp.uint32)
+    cy = cy.astype(jnp.uint32)
+    cz = cz.astype(jnp.uint32)
     if spec.is_tiled(level):
         r = jnp.uint32(spec.resolutions[level])
-        idx = cp[..., 0] + cp[..., 1] * r + cp[..., 2] * r * r
+        idx = cx + cy * r + cz * r * r
     else:
-        idx = (cp[..., 0] * jnp.uint32(_PRIMES[0])
-               ^ cp[..., 1] * jnp.uint32(_PRIMES[1])
-               ^ cp[..., 2] * jnp.uint32(_PRIMES[2]))
+        idx = (cx * jnp.uint32(_PRIMES[0])
+               ^ cy * jnp.uint32(_PRIMES[1])
+               ^ cz * jnp.uint32(_PRIMES[2]))
     return (idx % jnp.uint32(rows)).astype(jnp.int32)
+
+
+def _encode_levels(table: jax.Array, xT: jax.Array, oob: jax.Array,
+                   spec: HashGridSpec):
+    """Core encode in coordinate-major layout.
+
+    TPU layout note: all large intermediates here are [N]-trailing ([3, N],
+    [N], [C, N]) — the big axis sits in the 128-lane dimension, so nothing
+    pays the 16-42x lane-padding tax that [N, 8]/[N, 3]-shaped buffers incur
+    (the naive corner-last formulation OOMed a v5e chip at batch 4096).
+
+    xT: [3, N] positions in [0, 1]; oob: [N] bool.
+    Returns list of per-level features, each [C, N].
+    """
+    outs = []
+    for l in range(spec.num_levels):
+        scale = spec.scales[l]
+        pos = xT * scale + 0.5  # [3, N]
+        pos_grid = jnp.floor(pos)
+        frac = pos - pos_grid
+        pos_grid = pos_grid.astype(jnp.int32)
+        tbl_t = jax.lax.slice_in_dim(
+            table, spec.offsets[l], spec.offsets[l + 1]).T  # [C, rows]
+        acc = None
+        for cx, cy, cz in _CORNERS3:
+            w = ((frac[0] if cx else 1.0 - frac[0])
+                 * (frac[1] if cy else 1.0 - frac[1])
+                 * (frac[2] if cz else 1.0 - frac[2]))  # [N]
+            idx = _corner_index(spec, l,
+                                pos_grid[0] + cx,
+                                pos_grid[1] + cy,
+                                pos_grid[2] + cz)  # [N]
+            feats = jnp.take(tbl_t, idx, axis=1)  # [C, N]
+            term = w[None, :] * feats
+            acc = term if acc is None else acc + term
+        outs.append(jnp.where(oob[None, :], 0.0, acc))
+    return outs
 
 
 def hash_encode(table: jax.Array, x01: jax.Array,
@@ -150,32 +187,11 @@ def hash_encode(table: jax.Array, x01: jax.Array,
       [..., num_levels * level_dim] features.
     """
     batch_shape = x01.shape[:-1]
-    x = x01.reshape(-1, spec.input_dim)
-    n = x.shape[0]
-
-    oob = jnp.any((x < 0.0) | (x > 1.0), axis=-1)  # [N]
-    corners = jnp.asarray(_CORNERS3)
-
-    outs = []
-    for l in range(spec.num_levels):
-        scale = spec.scales[l]
-        pos = x * scale + 0.5
-        pos_grid = jnp.floor(pos)
-        frac = pos - pos_grid
-        # Corner coords [N, 8, 3] and trilinear weights [N, 8].
-        cg = pos_grid[:, None, :].astype(jnp.int32) + corners[None, :, :]
-        w = jnp.prod(
-            jnp.where(corners[None, :, :] == 0, 1.0 - frac[:, None, :],
-                      frac[:, None, :]), axis=-1)
-        idx = _level_indices(spec, l, cg)  # [N, 8]
-        tbl = jax.lax.slice_in_dim(table, spec.offsets[l], spec.offsets[l + 1])
-        feats = tbl[idx]  # gather: [N, 8, C]
-        out_l = jnp.einsum("nc,ncd->nd", w.astype(feats.dtype), feats)
-        outs.append(out_l)
-
-    out = jnp.stack(outs, axis=-2)  # [N, L, C]
-    out = jnp.where(oob[:, None, None], 0.0, out)
-    return out.reshape(batch_shape + (spec.output_dim,))
+    xT = x01.reshape(-1, spec.input_dim).T  # [3, N]
+    oob = jnp.any((xT < 0.0) | (xT > 1.0), axis=0)  # [N]
+    outs = _encode_levels(table, xT, oob, spec)  # L x [C, N]
+    out = jnp.concatenate(outs, axis=0)  # [L*C, N]
+    return out.T.reshape(batch_shape + (spec.output_dim,))
 
 
 def hash_encode_multisample(table: jax.Array, x01: jax.Array, stds: jax.Array,
@@ -186,16 +202,30 @@ def hash_encode_multisample(table: jax.Array, x01: jax.Array, stds: jax.Array,
     x01: [..., n, 3] in [0,1]; stds: [..., n] isotropic Gaussian stds in the
     same normalized coordinates. Implements the ZipNeRF featurization
     weights = erf(1 / sqrt(8 * std^2 * g_l^2)) and the mean over the n
-    multisamples (reference models.py:974-977) in one call so the Pallas
-    path can fuse it.
+    multisamples (reference models.py:974-977), fused in coordinate-major
+    layout: the [.., n, L*C] intermediate never materializes lane-padded.
 
     Returns ([..., L*C] features, [..., n, L] weights).
     """
-    feats = hash_encode(table, x01, spec)  # [..., n, L*C]
-    shape = feats.shape[:-1] + (spec.num_levels, spec.level_dim)
-    feats = feats.reshape(shape)
-    weights = jax.lax.erf(
-        1.0 / jnp.sqrt(jnp.maximum(
-            8.0 * stds[..., None] ** 2 * grid_sizes**2, 1e-10)))
-    out = (feats * weights[..., None]).mean(axis=-3)
-    return out.reshape(out.shape[:-2] + (spec.output_dim,)), weights
+    batch_shape = x01.shape[:-2]
+    n_ms = x01.shape[-2]
+    xT = x01.reshape(-1, spec.input_dim).T  # [3, B*n]
+    oob = jnp.any((xT < 0.0) | (xT > 1.0), axis=0)
+    stds_flat = stds.reshape(-1)  # [B*n]
+
+    per_level = _encode_levels(table, xT, oob, spec)  # L x [C, B*n]
+    outs = []
+    weights = []
+    for l, feats in enumerate(per_level):
+        w_l = jax.lax.erf(
+            1.0 / jnp.sqrt(jnp.maximum(
+                8.0 * stds_flat**2 * grid_sizes[l] ** 2, 1e-10)))  # [B*n]
+        weights.append(w_l)
+        weighted = (feats * w_l[None, :]).reshape(
+            spec.level_dim, -1, n_ms)  # [C, B, n]
+        outs.append(weighted.mean(axis=-1))  # [C, B]
+    out = jnp.concatenate(outs, axis=0)  # [L*C, B]
+    out = out.T.reshape(batch_shape + (spec.output_dim,))
+    w = jnp.stack(weights, axis=-1).reshape(
+        batch_shape + (n_ms, spec.num_levels))
+    return out, w

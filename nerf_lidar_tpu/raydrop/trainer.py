@@ -1,0 +1,228 @@
+"""Ray-drop training loop (JAX/optax).
+
+Rewrite of NeRF_Lidar_code/src/model/ray_drop_train.py:18-221: train a U-Net
+on [range, semantic, rgb x3, var] 6-channel range images to predict which
+rays a real sensor would drop. Losses: CE(mask) + Gumbel-softmax hard mask x
+VGG perceptual loss on masked range (weight 0.2), optional range-regression
+L1. Random azimuth roll augmentation (jnp.roll, static shapes). Eval on a
+held-out split every 10 epochs with CE early stopping.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, Iterator, Optional, Tuple
+
+import flax.serialization
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from . import vgg as vgg_lib
+from .unet import UNet
+
+
+@dataclasses.dataclass(frozen=True)
+class RayDropConfig:
+    n_channels: int = 6
+    n_classes: int = 2
+    lr: float = 1e-3  # torch.optim.Adam default used by the reference
+    epochs: int = 100
+    batch_size: int = 4
+    mask_loss: bool = True
+    vgg: bool = True
+    vgg_weight: float = 0.2
+    regression: bool = False
+    roll: bool = True
+    val_fraction: float = 0.2
+    eval_every: int = 10
+    early_stop: bool = True
+    gumbel_tau: float = 1.0
+
+
+class RayDropState(flax.struct.PyTreeNode):
+    step: jax.Array
+    params: dict
+    batch_stats: dict
+    opt_state: optax.OptState
+
+
+def gumbel_softmax_hard(key, logits, tau: float = 1.0, axis: int = -1):
+    """Straight-through Gumbel-softmax (hard one-hot forward, soft grads),
+    matching torch.nn.functional.gumbel_softmax(hard=True)."""
+    g = jax.random.gumbel(key, logits.shape, logits.dtype)
+    y = jax.nn.softmax((logits + g) / tau, axis=axis)
+    idx = jnp.argmax(y, axis=axis, keepdims=True)
+    hard = jnp.zeros_like(y)
+    hard = jnp.put_along_axis(hard, idx, 1.0, axis=axis, inplace=False)
+    return hard + y - jax.lax.stop_gradient(y)
+
+
+class RayDropTrainer:
+    """Functional trainer; data is a dict of numpy arrays:
+      images [N, H, W, C] (channel 0 = normalized simulated range),
+      masks [N, H, W] int in {0, 1} (1 = real sensor returned the ray),
+      ranges [N, H, W] normalized real range.
+    """
+
+    def __init__(self, cfg: RayDropConfig, seed: int = 0):
+        self.cfg = cfg
+        self.model = UNet(n_channels=cfg.n_channels, n_classes=cfg.n_classes,
+                          regression=cfg.regression)
+        self.vgg_model, self.vgg_params = vgg_lib.init_vgg(
+            jax.random.PRNGKey(seed + 7))
+        self.tx = optax.adam(cfg.lr)
+        self._jit_train = jax.jit(self._train_step)
+        self._jit_eval = jax.jit(self._eval_loss)
+
+    def init_state(self, key, h: int, w: int) -> RayDropState:
+        variables = self.model.init(
+            key, jnp.zeros((1, h, w, self.cfg.n_channels)), train=False)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        return RayDropState(step=jnp.asarray(0), params=params,
+                            batch_stats=batch_stats,
+                            opt_state=self.tx.init(params))
+
+    def _apply(self, params, batch_stats, img, train: bool):
+        variables = {"params": params, "batch_stats": batch_stats}
+        if train:
+            out, updates = self.model.apply(
+                variables, img, train=True, mutable=["batch_stats"])
+            return out, updates["batch_stats"]
+        return self.model.apply(variables, img, train=False), batch_stats
+
+    def _losses(self, params, batch_stats, img, gt_mask, gt_range, key,
+                train: bool):
+        cfg = self.cfg
+        out, new_bs = self._apply(params, batch_stats, img, train)
+        pred_range = None
+        logits = out
+        if cfg.regression:
+            logits, pred_range = out
+        loss = 0.0
+        stats = {}
+        if cfg.regression:
+            m = (gt_mask == 1).astype(jnp.float32)
+            diff = jnp.abs(pred_range[..., 0] - gt_range) * m
+            reg = diff.sum() / jnp.maximum(m.sum(), 1.0)
+            loss = loss + reg
+            stats["range_l1"] = reg
+        if cfg.mask_loss:
+            ce = optax.softmax_cross_entropy_with_integer_labels(
+                logits, gt_mask.astype(jnp.int32)).mean()
+            loss = loss + ce
+            stats["ce"] = ce
+        if cfg.vgg and train:
+            hard = gumbel_softmax_hard(key, logits, cfg.gumbel_tau, axis=-1)
+            masked_range = img[..., 0] * hard[..., 1]
+            vloss = vgg_lib.vgg_loss_map(
+                self.vgg_model, self.vgg_params, masked_range,
+                gt_range).mean()
+            loss = loss + cfg.vgg_weight * vloss
+            stats["vgg"] = vloss
+        stats["loss"] = loss
+        return loss, (stats, new_bs)
+
+    def _train_step(self, state: RayDropState, img, gt_mask, gt_range, key):
+        roll_key, gumbel_key = jax.random.split(key)
+        if self.cfg.roll:
+            shift = jax.random.randint(roll_key, (), 0, img.shape[2])
+            img = jnp.roll(img, shift, axis=2)
+            gt_mask = jnp.roll(gt_mask, shift, axis=2)
+            gt_range = jnp.roll(gt_range, shift, axis=2)
+        (loss, (stats, new_bs)), grads = jax.value_and_grad(
+            self._losses, has_aux=True)(state.params, state.batch_stats,
+                                        img, gt_mask, gt_range, gumbel_key,
+                                        True)
+        updates, opt_state = self.tx.update(grads, state.opt_state,
+                                            state.params)
+        params = optax.apply_updates(state.params, updates)
+        return state.replace(step=state.step + 1, params=params,
+                             batch_stats=new_bs, opt_state=opt_state), stats
+
+    def _eval_loss(self, state: RayDropState, img, gt_mask):
+        logits, _ = self._apply(state.params, state.batch_stats, img, False), \
+            None
+        logits = logits[0] if isinstance(logits, tuple) else logits
+        if self.cfg.regression:
+            logits = logits[0]
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits, gt_mask.astype(jnp.int32)).mean()
+
+    def fit(self, data: Dict[str, np.ndarray], save_dir: Optional[str] = None,
+            seed: int = 0, log_fn=print) -> RayDropState:
+        cfg = self.cfg
+        images, masks, ranges = (data["images"], data["masks"],
+                                 data["ranges"])
+        n = images.shape[0]
+        rng = np.random.RandomState(seed)
+        perm = rng.permutation(n)
+        n_val = max(1, int(n * cfg.val_fraction)) if n > 1 else 0
+        val_idx, train_idx = perm[:n_val], perm[n_val:]
+        if len(train_idx) == 0:
+            train_idx = perm
+
+        key = jax.random.PRNGKey(seed)
+        state = self.init_state(key, images.shape[1], images.shape[2])
+        best_val = np.inf
+        bs = cfg.batch_size
+        for epoch in range(cfg.epochs + 1):
+            rng.shuffle(train_idx)
+            ep_losses = []
+            for i in range(0, len(train_idx), bs):
+                idx = train_idx[i:i + bs]
+                if len(idx) < bs:  # keep static shapes: wrap around
+                    idx = np.concatenate([idx, train_idx[:bs - len(idx)]])
+                key, sub = jax.random.split(key)
+                state, stats = self._jit_train(
+                    state, jnp.asarray(images[idx]), jnp.asarray(masks[idx]),
+                    jnp.asarray(ranges[idx]), sub)
+                ep_losses.append(float(stats["loss"]))
+            if epoch % cfg.eval_every == 0 and epoch > 0 and n_val > 0:
+                val_losses = []
+                for i in range(0, len(val_idx), bs):
+                    idx = val_idx[i:i + bs]
+                    if len(idx) < bs:
+                        idx = np.concatenate([idx, val_idx[:bs - len(idx)]])
+                    val_losses.append(float(self._jit_eval(
+                        state, jnp.asarray(images[idx]),
+                        jnp.asarray(masks[idx]))))
+                val = float(np.mean(val_losses))
+                log_fn(f"epoch {epoch}: train {np.mean(ep_losses):.4f} "
+                       f"val_ce {val:.4f}")
+                if save_dir:
+                    self.save(save_dir, state, epoch)
+                if cfg.early_stop:
+                    if val < best_val:
+                        best_val = val
+                    else:
+                        break
+        if save_dir:
+            self.save(save_dir, state, int(state.step))
+        return state
+
+    def predict_prob(self, state: RayDropState,
+                     images: np.ndarray) -> np.ndarray:
+        """Per-pixel keep probability (softmax channel 1), analog of
+        ray_drop_train.py:203-221 `test`."""
+        out = self._apply(state.params, state.batch_stats,
+                          jnp.asarray(images), False)[0]
+        if self.cfg.regression:
+            out = out[0]
+        return np.asarray(jax.nn.softmax(out, axis=-1)[..., 1])
+
+    def save(self, directory: str, state: RayDropState, tag: int) -> str:
+        os.makedirs(directory, exist_ok=True)
+        path = os.path.join(directory, f"raydrop_{tag:05d}.ckpt")
+        with open(path, "wb") as f:
+            f.write(flax.serialization.to_bytes(jax.device_get(state)))
+        return path
+
+    def restore(self, path: str, h: int, w: int) -> RayDropState:
+        state = self.init_state(jax.random.PRNGKey(0), h, w)
+        with open(path, "rb") as f:
+            return flax.serialization.from_bytes(state, f.read())

@@ -1,0 +1,76 @@
+"""Checkpoint save/restore: flat msgpack of the train-state pytree.
+
+Mirrors reference internal/checkpoints.py:6-95 behavior: files named
+`<prefix><step>.ckpt`, natural-sorted latest lookup, `keep`-pruning that also
+removes *newer* checkpoints when rewriting history, and restore returning
+the step so LR schedules resume correctly.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Optional, Tuple
+
+import flax.serialization
+import jax
+
+
+def _natural_key(s: str):
+    return [int(t) if t.isdigit() else t for t in re.split(r"(\d+)", s)]
+
+
+def list_checkpoints(directory: str, prefix: str = "checkpoint_"):
+    if not os.path.isdir(directory):
+        return []
+    names = [f for f in os.listdir(directory)
+             if f.startswith(prefix) and f.endswith(".ckpt")]
+    return sorted(names, key=_natural_key)
+
+
+def latest_checkpoint(directory: str,
+                      prefix: str = "checkpoint_") -> Optional[str]:
+    names = list_checkpoints(directory, prefix)
+    return os.path.join(directory, names[-1]) if names else None
+
+
+def checkpoint_step(path: str) -> int:
+    m = re.search(r"(\d+)\.ckpt$", path)
+    return int(m.group(1)) if m else -1
+
+
+def save_checkpoint(directory: str, state: Any, step: int, keep: int = 1,
+                    prefix: str = "checkpoint_") -> str:
+    """Serialize `state` (a pytree) to <dir>/<prefix><step>.ckpt."""
+    os.makedirs(directory, exist_ok=True)
+    state = jax.device_get(state)
+    path = os.path.join(directory, f"{prefix}{step}.ckpt")
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(flax.serialization.to_bytes(state))
+    os.replace(tmp, path)
+
+    # Prune: keep the newest `keep` files at or below `step`, and drop any
+    # checkpoints from a newer (rewound) history (reference
+    # checkpoints.py:58-95).
+    names = list_checkpoints(directory, prefix)
+    steps = [(checkpoint_step(n), n) for n in names]
+    alive = sorted([s for s, _ in steps if s <= step])[-keep:]
+    for s, n in steps:
+        if s not in alive:
+            os.remove(os.path.join(directory, n))
+    return path
+
+
+def restore_checkpoint(directory_or_path: str, target: Any,
+                       prefix: str = "checkpoint_") -> Tuple[Any, int]:
+    """Restore into `target`'s structure. Returns (state, step); step = 0 and
+    target unchanged if nothing to restore."""
+    path = directory_or_path
+    if os.path.isdir(directory_or_path):
+        path = latest_checkpoint(directory_or_path, prefix)
+    if path is None or not os.path.exists(path):
+        return target, 0
+    with open(path, "rb") as f:
+        state = flax.serialization.from_bytes(target, f.read())
+    return state, checkpoint_step(path)

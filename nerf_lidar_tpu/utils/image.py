@@ -1,0 +1,121 @@
+"""Image metrics & color tools (reference internal/image.py rewrite in JAX).
+
+PSNR/SSIM pair used by the eval loop (image.py:110-125), the quadratic
+color-correction warp for GLO-trained scenes (image.py:67-107), and sRGB
+transforms.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def mse_to_psnr(mse):
+    return -10.0 / np.log(10.0) * jnp.log(mse)
+
+
+def psnr(img0, img1):
+    return mse_to_psnr(jnp.mean((img0 - img1) ** 2))
+
+
+def linear_to_srgb(linear, eps=1e-10):
+    srgb0 = 323 / 25 * linear
+    srgb1 = (211 * jnp.maximum(eps, linear) ** (5 / 12) - 11) / 200
+    return jnp.where(linear <= 0.0031308, srgb0, srgb1)
+
+
+def srgb_to_linear(srgb, eps=1e-10):
+    linear0 = 25 / 323 * srgb
+    linear1 = jnp.maximum(eps, ((200 * srgb + 11) / 211)) ** (12 / 5)
+    return jnp.where(srgb <= 0.04045, linear0, linear1)
+
+
+def ssim(img0, img1, max_val: float = 1.0, filter_size: int = 11,
+         filter_sigma: float = 1.5, k1: float = 0.01, k2: float = 0.03):
+    """SSIM with a Gaussian window, computed as two 1-D depthwise convs
+    (VPU/MXU friendly; equivalent to the scikit-image default used by the
+    reference's MetricHarness)."""
+    img0 = jnp.asarray(img0, jnp.float32)
+    img1 = jnp.asarray(img1, jnp.float32)
+    hw = filter_size // 2
+    shift = jnp.arange(-hw, hw + 1, dtype=jnp.float32)
+    f = jnp.exp(-0.5 * (shift / filter_sigma) ** 2)
+    f = f / f.sum()
+
+    def blur(x):
+        # x: [H, W, C]; separable filter along H then W.
+        y = jnp.apply_along_axis(
+            lambda v: jnp.convolve(v, f, mode="valid"), 0, x)
+        y = jnp.apply_along_axis(
+            lambda v: jnp.convolve(v, f, mode="valid"), 1, y)
+        return y
+
+    mu0 = blur(img0)
+    mu1 = blur(img1)
+    mu00 = mu0 * mu0
+    mu11 = mu1 * mu1
+    mu01 = mu0 * mu1
+    sigma00 = blur(img0**2) - mu00
+    sigma11 = blur(img1**2) - mu11
+    sigma01 = blur(img0 * img1) - mu01
+
+    sigma00 = jnp.maximum(0.0, sigma00)
+    sigma11 = jnp.maximum(0.0, sigma11)
+    sigma01 = jnp.sign(sigma01) * jnp.minimum(
+        jnp.sqrt(sigma00 * sigma11), jnp.abs(sigma01))
+
+    c1 = (k1 * max_val) ** 2
+    c2 = (k2 * max_val) ** 2
+    numer = (2 * mu01 + c1) * (2 * sigma01 + c2)
+    denom = (mu00 + mu11 + c1) * (sigma00 + sigma11 + c2)
+    return jnp.mean(numer / denom)
+
+
+def color_correct(img, ref, num_iters: int = 5, eps: float = 0.5 / 255):
+    """Warp `img`'s colors onto `ref` with a per-channel quadratic fit
+    (reference image.py:67-107), solved per channel with lstsq."""
+    img = jnp.asarray(img)
+    ref = jnp.asarray(ref)
+    if img.shape[-1] != ref.shape[-1]:
+        raise ValueError(
+            f"img's {img.shape[-1]} and ref's {ref.shape[-1]} channels differ")
+    num_channels = img.shape[-1]
+    img_mat = img.reshape([-1, num_channels])
+    ref_mat = ref.reshape([-1, num_channels])
+
+    def is_unclipped(z):
+        return (z >= eps) & (z <= 1 - eps)
+
+    mask0 = is_unclipped(img_mat)
+    for _ in range(num_iters):
+        # Quadratic features: x, x*x cross terms, 1.
+        a_mat = []
+        for c in range(num_channels):
+            a_mat.append(img_mat[:, c:c + 1] * img_mat[:, c:])
+        a_mat.append(img_mat)
+        a_mat.append(jnp.ones_like(img_mat[:, :1]))
+        a_mat = jnp.concatenate(a_mat, axis=-1)
+        warp = []
+        for c in range(num_channels):
+            b = ref_mat[:, c]
+            mask = (mask0[:, c] & is_unclipped(img_mat[:, c])
+                    & is_unclipped(b)).astype(img.dtype)
+            ma_mat = mask[:, None] * a_mat
+            mb = mask * b
+            w = jnp.linalg.lstsq(ma_mat, mb, rcond=-1)[0]
+            warp.append(w)
+        warp = jnp.stack(warp, axis=-1)
+        img_mat = jnp.clip(a_mat @ warp, 0, 1)
+    return img_mat.reshape(img.shape)
+
+
+class MetricHarness:
+    """PSNR + SSIM bundle (reference image.py:110-125)."""
+
+    def __call__(self, rgb_pred, rgb_gt, name_suffix: str = ""):
+        return {
+            "psnr" + name_suffix: float(psnr(rgb_pred, rgb_gt)),
+            "ssim" + name_suffix: float(ssim(rgb_pred, rgb_gt)),
+        }

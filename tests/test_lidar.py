@@ -1,0 +1,113 @@
+import numpy as np
+
+from nerf_lidar_tpu.lidar import range_image, sensor, transforms
+
+
+def test_beam_directions_unit_and_count():
+    d = sensor.beam_directions()
+    assert d.shape == (32 * 1100, 3)
+    np.testing.assert_allclose(np.linalg.norm(d, axis=-1), 1.0, atol=1e-5)
+    # Elevations span [-30.67, 10.67] degrees.
+    el = np.rad2deg(np.arcsin(d[:, 2]))
+    assert el.min() >= -30.68 and el.max() <= 10.68
+    # Beam-major layout: first 1100 rays share the lowest elevation.
+    np.testing.assert_allclose(el[:1100], -30.67, atol=1e-3)
+
+
+def test_rolling_origins_interpolate_ego_motion():
+    o0 = np.array([0.0, 0.0, 0.0])
+    o1 = np.array([1.0, 0.0, 0.0])
+    origins = sensor.rolling_origins(o0, o1)
+    assert origins.shape == (32 * 1100, 3)
+    # At time 0 the origin is o0; over the 50 ms sweep it moves along -delta
+    # (reference convention, lidar_utils.py:83).
+    np.testing.assert_allclose(origins[0], o0, atol=1e-6)
+    np.testing.assert_allclose(origins[1099], o0 - (o1 - o0), atol=1e-5)
+    # All 32 beams share the same azimuth-indexed origins.
+    np.testing.assert_allclose(origins[:1100], origins[1100:2200])
+
+
+def test_scene_frame_roundtrip():
+    rng = np.random.RandomState(0)
+    # Random rigid transform.
+    a = rng.randn(3)
+    theta = 0.7
+    R = np.array([[np.cos(theta), -np.sin(theta), 0],
+                  [np.sin(theta), np.cos(theta), 0], [0, 0, 1.0]])
+    T = np.eye(4)
+    T[:3, :3] = R
+    T[:3, 3] = a
+    frame = transforms.SceneFrame(T, 0.05)
+    pts = rng.randn(100, 3)
+    back = frame.scene_to_world_points(frame.world_to_scene_points(pts))
+    np.testing.assert_allclose(back, pts, atol=1e-6)
+    dirs = rng.randn(10, 3)
+    back_d = frame.scene_to_world_dirs(frame.world_to_scene_dirs(dirs))
+    np.testing.assert_allclose(back_d, dirs, atol=1e-6)
+
+
+def test_replay_sweeps_shapes_and_scene_scale():
+    F = 3
+    centers = np.cumsum(np.tile([1.0, 0, 0], (F, 1)), axis=0)
+    l2g = np.tile(np.eye(4), (F, 1, 1))
+    frame = transforms.SceneFrame(np.eye(4), 0.1)
+    sweeps = sensor.replay_sweeps(centers, l2g, frame)
+    assert len(sweeps) == F
+    s = sweeps[0]
+    assert s.origins.shape == (35200, 3)
+    np.testing.assert_allclose(s.origins[0], centers[0] * 0.1, atol=1e-6)
+    rb = s.ray_batch(0.1, 10.0)
+    assert rb["radii"].shape == (35200, 1)
+    np.testing.assert_allclose(rb["base_x"], rb["directions"])
+
+
+def test_simulated_sweeps_trace():
+    frame = transforms.SceneFrame(np.eye(4), 0.05)
+    sweeps, trace = sensor.simulated_sweeps(
+        np.zeros(3), np.array([10.0, 0, 0]), np.eye(4), frame, num_sweeps=5)
+    assert len(sweeps) == 5
+    assert trace.shape == (6, 3)
+    np.testing.assert_allclose(trace[-1], [10.0, 0, 0], atol=1e-5)
+
+
+def test_range_projection_roundtrip():
+    # Points exactly on beam directions must land in distinct pixels with
+    # correct ranges.
+    d = sensor.beam_directions(azimuths=sensor.azimuth_angles(64))
+    # Convert from sensor frame (x right, y forward) to the projector's
+    # (x forward, y left): yaw = -atan2(y, x) expects x forward.
+    pts = np.stack([d[:, 1], -d[:, 0], d[:, 2]], -1)
+    ranges = np.linspace(5, 50, pts.shape[0]).astype(np.float32)
+    pts = pts * ranges[:, None]
+    ri = range_image.project_points(pts, h=32, w=64)
+    assert ri.mask.sum() > 0.9 * 32 * 64
+    got = ri.range[ri.mask > 0]
+    assert got.min() >= 5 - 1e-3 and got.max() <= 50 + 1e-3
+    # Occlusion: duplicate all points at double range -> image unchanged.
+    pts2 = np.concatenate([pts, pts * 2], axis=0)
+    ri2 = range_image.project_points(pts2, h=32, w=64)
+    np.testing.assert_allclose(ri2.range, ri.range)
+
+
+def test_range_normalize_and_variance():
+    r = np.array([[-1.0, 0.0, 3.0, 90.2]], np.float32)
+    n = range_image.normalize_range(r)
+    assert n[0, 0] == 0 and n[0, 1] == 0
+    np.testing.assert_allclose(n[0, 2], np.log2(4.0) / 6.5, rtol=1e-5)
+    assert n[0, 3] <= 1.01  # log2(91.2)/6.5 ~= 1.0
+    v = range_image.local_variance(np.random.RandomState(0).rand(32, 64)
+                                   .astype(np.float32))
+    assert v.shape == (32, 64)
+    assert np.all(v >= 0)
+
+
+def test_jax_range_projection_matches_numpy():
+    import jax.numpy as jnp
+    rng = np.random.RandomState(1)
+    pts = rng.randn(500, 3) * 10
+    ri = range_image.project_points(pts, h=16, w=32)
+    rj, _ = range_image.project_range_image_jax(jnp.asarray(pts), h=16, w=32)
+    rj = np.asarray(rj)
+    filled = ri.mask > 0
+    np.testing.assert_allclose(rj[filled], ri.range[filled], rtol=1e-5)
+    assert np.all(np.isinf(rj[~filled]))

@@ -1,0 +1,112 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerf_lidar_tpu import configs
+from nerf_lidar_tpu.models.model import Model
+
+
+def _make_batch(R=16, near=0.2, far=6.0, seed=0):
+    rng = np.random.RandomState(seed)
+    directions = rng.randn(R, 3).astype(np.float32)
+    directions /= np.linalg.norm(directions, axis=-1, keepdims=True)
+    up = np.array([0, 0, 1], np.float32)
+    bx = np.cross(directions, up)
+    bx /= np.linalg.norm(bx, axis=-1, keepdims=True)
+    by = np.cross(directions, bx)
+    batch = {
+        "origins": (rng.randn(R, 3) * 0.1).astype(np.float32),
+        "directions": directions,
+        "viewdirs": directions,
+        "base_x": bx.astype(np.float32),
+        "base_y": by.astype(np.float32),
+        "radii": np.full((R, 1), 1e-3, np.float32),
+        "near": np.full((R, 1), near, np.float32),
+        "far": np.full((R, 1), far, np.float32),
+    }
+    return {k: jnp.asarray(v) for k, v in batch.items()}
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    cfg = configs.tiny_debug().model
+    model = Model(cfg)
+    batch = _make_batch()
+    params = model.init(jax.random.PRNGKey(0), None, batch)
+    return cfg, model, params, batch
+
+
+def test_forward_shapes(tiny_model):
+    cfg, model, params, batch = tiny_model
+    renderings, ray_history = model.apply(
+        params, jax.random.PRNGKey(1), batch, train_frac=0.5,
+        compute_extras=True)
+    assert len(renderings) == cfg.num_levels
+    R = batch["origins"].shape[0]
+    final = renderings[-1]
+    assert final["rgb"].shape == (R, 3)
+    assert final["depth"].shape == (R,)
+    assert final["semantic"].shape == (R, cfg.nerf_mlp.class_num)
+    assert final["acc"].shape == (R,)
+    assert "distance_median" in final
+    # Ray history carries sampling state for losses.
+    for h in ray_history:
+        assert h["sdist"].shape[-1] == h["weights"].shape[-1] + 1
+        assert np.all(np.isfinite(np.asarray(h["weights"])))
+
+
+def test_forward_deterministic_without_key(tiny_model):
+    _, model, params, batch = tiny_model
+    r1, _ = model.apply(params, None, batch)
+    r2, _ = model.apply(params, None, batch)
+    np.testing.assert_array_equal(np.asarray(r1[-1]["rgb"]),
+                                  np.asarray(r2[-1]["rgb"]))
+
+
+def test_depth_in_near_far_range(tiny_model):
+    _, model, params, batch = tiny_model
+    renderings, _ = model.apply(params, None, batch)
+    depth = np.asarray(renderings[-1]["depth"])
+    assert np.all(depth >= float(batch["near"][0, 0]) - 1e-4)
+    assert np.all(depth <= float(batch["far"][0, 0]) + 1e-4)
+
+
+def test_semantic_is_probability(tiny_model):
+    _, model, params, batch = tiny_model
+    renderings, _ = model.apply(params, None, batch)
+    sem = np.asarray(renderings[-1]["semantic"])
+    # Composite of softmax probs with opaque background: rows sum to ~1.
+    np.testing.assert_allclose(sem.sum(-1), 1.0, atol=1e-3)
+
+
+def test_grads_flow_to_all_mlps(tiny_model):
+    cfg, model, params, batch = tiny_model
+
+    def loss_fn(p):
+        renderings, ray_history = model.apply(
+            p, jax.random.PRNGKey(2), batch, train_frac=0.1)
+        loss = ((renderings[-1]["rgb"] - 0.5) ** 2).mean()
+        # Touch prop weights through an interlevel-style term.
+        for h in ray_history[:-1]:
+            loss = loss + 1e-3 * (h["weights"] ** 2).mean()
+        return loss
+
+    grads = jax.grad(loss_fn)(params)
+    flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+    nonzero = {"/".join(str(k) for k in path): float(jnp.abs(g).sum())
+               for path, g in flat}
+    # NeRF MLP table and prop tables must all receive gradient.
+    assert any("nerf_mlp" in k and "table" in k and v > 0
+               for k, v in nonzero.items()), nonzero
+    assert any("prop_mlps_0" in k and v > 0 for k, v in nonzero.items())
+    assert all(np.isfinite(v) for v in nonzero.values())
+
+
+def test_jit_forward_compiles_and_matches(tiny_model):
+    _, model, params, batch = tiny_model
+    f = jax.jit(lambda p, b: model.apply(p, None, b)[0][-1]["rgb"])
+    out_jit = f(params, batch)
+    out_eager = model.apply(params, None, batch)[0][-1]["rgb"]
+    np.testing.assert_allclose(np.asarray(out_jit), np.asarray(out_eager),
+                               rtol=1e-5, atol=1e-6)

@@ -1,0 +1,145 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerf_lidar_tpu.lidar import export as export_lib
+from nerf_lidar_tpu.lidar import sensor
+from nerf_lidar_tpu.raydrop import features as feat_lib
+from nerf_lidar_tpu.raydrop import infer as infer_lib
+from nerf_lidar_tpu.raydrop.trainer import (RayDropConfig, RayDropTrainer,
+                                            gumbel_softmax_hard)
+from nerf_lidar_tpu.raydrop.unet import UNet
+
+
+H, W = 16, 64  # small range images for CPU tests
+
+
+def _fake_sweep(seed=0, n=None):
+    """Points on beam directions with plausible ranges."""
+    rng = np.random.RandomState(seed)
+    d = sensor.beam_directions(
+        elevations_deg=sensor.NUSC_ELEVATIONS_DEG[::2],
+        azimuths=sensor.azimuth_angles(W))
+    # Sensor frame for the projector: x forward, y left.
+    pts = np.stack([d[:, 1], -d[:, 0], d[:, 2]], -1)
+    r = rng.uniform(4, 60, pts.shape[0]).astype(np.float32)
+    pts = pts * r[:, None]
+    sem = rng.randint(0, 19, pts.shape[0])
+    rgb = rng.rand(pts.shape[0], 3).astype(np.float32)
+    return pts.astype(np.float32), sem, rgb
+
+
+def test_unet_shapes():
+    model = UNet(n_channels=6, n_classes=2)
+    x = jnp.zeros((2, H, W, 6))
+    vs = model.init(jax.random.PRNGKey(0), x, train=False)
+    y = model.apply(vs, x, train=False)
+    assert y.shape == (2, H, W, 2)
+    # Regression head variant.
+    model_r = UNet(n_channels=6, n_classes=2, regression=True)
+    vs = model_r.init(jax.random.PRNGKey(0), x, train=False)
+    logits, reg = model_r.apply(vs, x, train=False)
+    assert logits.shape == (2, H, W, 2) and reg.shape == (2, H, W, 1)
+    assert float(jnp.min(reg)) >= 0 and float(jnp.max(reg)) <= 1
+
+
+def test_gumbel_softmax_hard_onehot_with_grads():
+    key = jax.random.PRNGKey(0)
+    logits = jnp.asarray(np.random.RandomState(0).randn(4, 8, 2))
+    hard = gumbel_softmax_hard(key, logits)
+    h = np.asarray(hard)
+    # Forward value is one-hot up to float cancellation in the
+    # straight-through trick.
+    np.testing.assert_allclose(h, np.round(h), atol=1e-5)
+    np.testing.assert_allclose(h.sum(-1), 1.0, atol=1e-5)
+    g = jax.grad(lambda l: gumbel_softmax_hard(key, l)[..., 1].sum())(logits)
+    assert np.abs(np.asarray(g)).sum() > 0
+
+
+def test_depth_filter_keeps_smooth_removes_isolated():
+    d = sensor.beam_directions(
+        elevations_deg=sensor.NUSC_ELEVATIONS_DEG[::2],
+        azimuths=sensor.azimuth_angles(W))
+    pts = np.stack([d[:, 1], -d[:, 0], d[:, 2]], -1)
+    # Smoothly varying range along each ring -> neighbors are close.
+    az = np.tile(np.linspace(0, 2 * np.pi, W), 16)
+    # Keep ranges small enough that azimuthal neighbors (2*pi*r/W apart)
+    # stay within the 1 m filter radius.
+    r = (5 + 0.2 * np.sin(az)).astype(np.float32)
+    pts = (pts * r[:, None]).astype(np.float32)
+    pts_r = pts.reshape(16, W, 3).copy()
+    pts_r[3, 10] *= 5.0  # isolated outlier far from ring neighbors
+    mask = feat_lib.depth_filter_mask(pts_r.reshape(-1, 3), num_beams=16)
+    assert not mask[3 * W + 10]
+    assert mask.mean() > 0.8  # smooth rings survive
+
+
+def test_feature_stack_shapes():
+    pts, sem, rgb = _fake_sweep()
+    sim = feat_lib.simulated_sweep_features(pts, sem, rgb, h=H, w=W)
+    assert sim["features"].shape == (H, W, 6)
+    assert sim["features"][..., 0].max() <= 1.0
+    real, mask = feat_lib.real_sweep_features(pts, h=H, w=W)
+    assert real.shape == (H, W) and mask.shape == (H, W)
+    assert mask.sum() > 0
+
+
+def test_raydrop_trainer_overfits_tiny():
+    # Learn "drop every ray whose simulated range is 0" — a trivially
+    # learnable rule, on 4 tiny images.
+    rng = np.random.RandomState(0)
+    images = rng.rand(4, H, W, 6).astype(np.float32)
+    images[..., 0] *= (rng.rand(4, H, W) > 0.3)
+    masks = (images[..., 0] > 0).astype(np.int32)
+    ranges = images[..., 0]
+    cfg = RayDropConfig(epochs=25, batch_size=2, vgg=False, roll=True,
+                        eval_every=100, early_stop=False)
+    trainer = RayDropTrainer(cfg)
+    state = trainer.fit(dict(images=images, masks=masks, ranges=ranges),
+                        log_fn=lambda *_: None)
+    prob = trainer.predict_prob(state, images)
+    acc = ((prob > 0.5) == masks).mean()
+    assert acc > 0.9, acc
+
+
+def test_raydrop_vgg_loss_path_runs():
+    rng = np.random.RandomState(0)
+    images = rng.rand(2, H, W, 6).astype(np.float32)
+    masks = (images[..., 0] > 0.5).astype(np.int32)
+    ranges = images[..., 0]
+    cfg = RayDropConfig(epochs=1, batch_size=2, vgg=True, roll=False,
+                        early_stop=False, eval_every=100)
+    trainer = RayDropTrainer(cfg)
+    state = trainer.fit(dict(images=images, masks=masks, ranges=ranges),
+                        log_fn=lambda *_: None)
+    assert int(state.step) >= 1
+
+
+def test_raydrop_checkpoint_roundtrip(tmp_path):
+    cfg = RayDropConfig(epochs=0, vgg=False)
+    trainer = RayDropTrainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0), H, W)
+    p = trainer.save(str(tmp_path), state, 7)
+    state2 = trainer.restore(p, H, W)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), state.params, state2.params)
+
+
+def test_drop_sweep_and_export(tmp_path):
+    pts, sem, rgb = _fake_sweep()
+    cfg = RayDropConfig(epochs=0, vgg=False)
+    trainer = RayDropTrainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(1), H, W)
+    out = infer_lib.drop_sweep(trainer, state, pts, sem, rgb, h=H, w=W)
+    assert out["points"].ndim == 2 and out["points"].shape[1] == 3
+    assert out["keep_prob"].shape == (H, W)
+    # No sky points survive.
+    assert not (out["labels"] == infer_lib.SKY_CLASS).any()
+    # Export + read back.
+    n = infer_lib.drop_and_export(trainer, state,
+                                  [(pts, sem, rgb)], str(tmp_path), h=H, w=W)
+    assert n == 1
+    arr = export_lib.read_bin(str(tmp_path / "velodyne" / "000000.bin"))
+    lab = export_lib.read_label(str(tmp_path / "labels" / "000000.label"))
+    assert arr.shape[1] == 4 and arr.shape[0] == lab.shape[0]

@@ -1,0 +1,133 @@
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerf_lidar_tpu import configs
+from nerf_lidar_tpu.data import synthetic
+from nerf_lidar_tpu.data.batching import RayBatcher
+from nerf_lidar_tpu.models.model import Model
+from nerf_lidar_tpu.train import checkpoints, losses as losses_lib, train_step
+
+
+def _setup(batch_size=128, patch_size=1, lidar=False, max_steps=60):
+    cfg = configs.tiny_debug()
+    cfg = dataclasses.replace(
+        cfg, batch_size=batch_size, patch_size=patch_size,
+        lidar_supervision=lidar, max_steps=max_steps,
+        lr_init=5e-3, lr_final=5e-3, lr_delay_steps=0,
+        model=dataclasses.replace(cfg.model, use_intensity=lidar,
+                                  nerf_mlp=dataclasses.replace(
+                                      cfg.model.nerf_mlp,
+                                      use_intensity=lidar)))
+    _, data, _ = synthetic.make_scene_data(num_views=4, height=24, width=32,
+                                           focal=28.0, with_lidar=lidar,
+                                           far=cfg.far)
+    batcher = RayBatcher(data, cfg.batch_size, cfg.patch_size,
+                         lidar_supervision=lidar, seed=0)
+    model = Model(cfg.model)
+    batch = jax.tree.map(jnp.asarray, batcher.next())
+    params = model.init(jax.random.PRNGKey(0), None, batch)
+    state, tx = train_step.create_train_state(cfg, params)
+    return cfg, model, batcher, state, tx
+
+
+def test_masked_quantile_matches_numpy():
+    rng = np.random.RandomState(0)
+    x = rng.rand(256).astype(np.float32)
+    mask = rng.rand(256) > 0.4
+    got = float(losses_lib.masked_quantile(
+        jnp.asarray(x), jnp.asarray(mask), 0.9))
+    want = np.quantile(np.sort(x[mask]), 0.9, method="lower")
+    assert abs(got - want) < 1e-5
+
+
+def test_train_step_runs_and_loss_decreases():
+    cfg, model, batcher, state, tx = _setup()
+    step_fn = train_step.make_train_step(
+        model, tx, cfg, num_patch_rays=batcher.num_patch_rays)
+    key = jax.random.PRNGKey(1)
+    first_loss, last_loss = None, None
+    for i in range(30):
+        batch = jax.tree.map(jnp.asarray, batcher.next())
+        key, sub = jax.random.split(key)
+        state, stats = step_fn(state, batch, sub, None, None)
+        loss = float(stats["loss"])
+        assert np.isfinite(loss)
+        if first_loss is None:
+            first_loss = loss
+        last_loss = loss
+    assert int(state.step) == 30
+    assert last_loss < first_loss, (first_loss, last_loss)
+
+
+def test_train_overfit_psnr_improves():
+    cfg, model, batcher, state, tx = _setup(batch_size=256, max_steps=120)
+    step_fn = train_step.make_train_step(
+        model, tx, cfg, num_patch_rays=batcher.num_patch_rays)
+    key = jax.random.PRNGKey(2)
+    psnrs = []
+    for i in range(120):
+        batch = jax.tree.map(jnp.asarray, batcher.next())
+        key, sub = jax.random.split(key)
+        state, stats = step_fn(state, batch, sub, None, None)
+        psnrs.append(float(stats["psnr"]))
+    early = np.mean(psnrs[:10])
+    late = np.mean(psnrs[-10:])
+    assert late > early + 2.0, (early, late)  # at least +2 dB on tiny model
+
+
+def test_train_step_with_patches_and_lidar():
+    cfg, model, batcher, state, tx = _setup(batch_size=256, patch_size=4,
+                                            lidar=True)
+    assert batcher.num_patch_rays == (256 // 4 // 16) * 16
+    assert batcher.lidar_batch == 64
+    step_fn = train_step.make_train_step(
+        model, tx, cfg, num_patch_rays=batcher.num_patch_rays)
+    batch = jax.tree.map(jnp.asarray, batcher.next())
+    assert batch["origins"].shape[0] == 256 + 64
+    state, stats = step_fn(state, batch, jax.random.PRNGKey(3), None, None)
+    for k in ("data", "depth", "sem", "int", "interlevel", "distortion",
+              "hash_decay", "d_smo", "s_smo"):
+        assert k in stats, (k, list(stats))
+        assert np.isfinite(float(stats[k])), k
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg, model, batcher, state, tx = _setup()
+    d = str(tmp_path)
+    checkpoints.save_checkpoint(d, state, 100, keep=2)
+    checkpoints.save_checkpoint(d, state, 200, keep=2)
+    checkpoints.save_checkpoint(d, state, 300, keep=2)
+    names = checkpoints.list_checkpoints(d)
+    assert names == ["checkpoint_200.ckpt", "checkpoint_300.ckpt"]
+    restored, step = checkpoints.restore_checkpoint(d, state)
+    assert step == 300
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), state.params, restored.params)
+    # Natural sort: step 1000 > step 300.
+    checkpoints.save_checkpoint(d, state, 1000, keep=2)
+    assert checkpoints.latest_checkpoint(d).endswith("checkpoint_1000.ckpt")
+
+
+def test_sharded_train_step_on_8_devices():
+    from jax.sharding import Mesh
+    devices = jax.devices()
+    assert len(devices) == 8, devices
+    mesh = Mesh(np.asarray(devices), ("data",))
+    cfg, model, batcher, state, tx = _setup(batch_size=128)
+    step_fn = train_step.make_train_step(
+        model, tx, cfg, mesh=mesh, donate=False,
+        num_patch_rays=batcher.num_patch_rays)
+    batch = jax.tree.map(jnp.asarray, batcher.next())
+    state2, stats = step_fn(state, batch, jax.random.PRNGKey(4), None, None)
+    assert np.isfinite(float(stats["loss"]))
+    # Sharded result must match the single-device step numerically (the mean
+    # over a batch-sharded axis is exact for this size).
+    step_fn_1 = train_step.make_train_step(
+        model, tx, cfg, donate=False, num_patch_rays=batcher.num_patch_rays)
+    state1, stats1 = step_fn_1(state, batch, jax.random.PRNGKey(4), None, None)
+    np.testing.assert_allclose(float(stats["loss"]), float(stats1["loss"]),
+                               rtol=1e-4)
