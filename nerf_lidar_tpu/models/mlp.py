@@ -210,18 +210,21 @@ class ZipMLP(nn.Module):
             scale, shift = jnp.split(g, 2, axis=-1)
             bottleneck = bottleneck * jnp.exp(scale) + shift
 
+        def _per_sample(v):
+            """Broadcast a per-ray [..., D] field to per-sample [..., S, D]
+            (no-op when the caller already supplies per-sample values, as the
+            dynamic-object path does)."""
+            if v.ndim == bottleneck.ndim:
+                return jnp.broadcast_to(v, bottleneck.shape[:-1]
+                                        + (v.shape[-1],))
+            return jnp.broadcast_to(v[..., None, :],
+                                    bottleneck.shape[:-1] + (v.shape[-1],))
+
         parts = [bottleneck]
         if viewdirs is not None:
-            dir_enc = self._dir_enc(viewdirs)
-            dir_enc = jnp.broadcast_to(
-                dir_enc[..., None, :],
-                bottleneck.shape[:-1] + (dir_enc.shape[-1],))
-            parts.append(dir_enc)
+            parts.append(_per_sample(self._dir_enc(viewdirs)))
         if c.split_latent and latent is not None:
-            tex = latent[..., c.latent_size // 2:]
-            tex = jnp.broadcast_to(tex[..., None, :],
-                                   bottleneck.shape[:-1] + tex.shape[-1:])
-            parts.append(tex)
+            parts.append(_per_sample(latent[..., c.latent_size // 2:]))
         h = jnp.concatenate(parts, axis=-1)
 
         inputs = h

@@ -37,7 +37,8 @@ def rotate_z(p: jax.Array, theta: jax.Array) -> jax.Array:
     c, s = jnp.cos(theta), jnp.sin(theta)
     x = c * p[..., 0] - s * p[..., 1]
     y = s * p[..., 0] + c * p[..., 1]
-    return jnp.stack([x, y, p[..., 2]], axis=-1)
+    z = jnp.broadcast_to(p[..., 2], x.shape)
+    return jnp.stack([x, y, z], axis=-1)
 
 
 def world2object(pts, dirs, center, theta_z, wlh):
@@ -120,21 +121,24 @@ def get_pose(time: jax.Array, tracks: jax.Array) -> jax.Array:
     """
     if time.ndim == 2:
         time = time[..., 0]
+    R = time.shape[0]
     ttimes = tracks[:, :, -2]  # [N_obj, T]
     diff = jnp.abs(time[:, None, None] - ttimes[None])  # [R, N_obj, T]
-    # Two closest timestamps.
-    neg, idx = jax.lax.top_k(-diff, 2)  # [R, N_obj, 2]
-    t1 = jnp.take_along_axis(ttimes[None].repeat(time.shape[0], 0),
-                             idx[..., 0], axis=-1)
-    t2 = jnp.take_along_axis(ttimes[None].repeat(time.shape[0], 0),
-                             idx[..., 1], axis=-1)
+    # Two closest timestamps per (ray, object).
+    _, idx = jax.lax.top_k(-diff, 2)  # [R, N_obj, 2]
+    tt = jnp.broadcast_to(ttimes[None], diff.shape)  # [R, N_obj, T]
+    t1 = jnp.take_along_axis(tt, idx[..., 0:1], axis=-1)[..., 0]
+    t2 = jnp.take_along_axis(tt, idx[..., 1:2], axis=-1)[..., 0]
     total = jnp.abs(t1 - t2) + 1e-9
     w1 = jnp.clip(jnp.abs(time[:, None] - t2) / total, 0, 1)
     w2 = 1.0 - w1
-    tr = tracks[None]  # [1, N_obj, T, F]
-    gather = lambda i: jnp.take_along_axis(
-        jnp.broadcast_to(tr, (time.shape[0],) + tracks.shape),
-        i[..., None, None].repeat(tracks.shape[-1], -1), axis=-2)[..., 0, :]
+    tr = jnp.broadcast_to(tracks[None], (R,) + tracks.shape)  # [R,O,T,F]
+
+    def gather(i):  # i: [R, N_obj]
+        ii = jnp.broadcast_to(i[..., None, None],
+                              i.shape + (1, tracks.shape[-1]))
+        return jnp.take_along_axis(tr, ii, axis=-2)[..., 0, :]
+
     info1 = gather(idx[..., 0])
     info2 = gather(idx[..., 1])
     return w1[..., None] * info1 + w2[..., None] * info2
@@ -162,8 +166,7 @@ def composite_objects(obj_mlp, obj_latents: Optional[jax.Array],
         lat = None
         if obj_latents is not None:
             lat = jnp.broadcast_to(obj_latents[o], (R, S) + obj_latents[o].shape)
-        return obj_mlp(p, stds, viewdirs=dirs_o[:, :, o, :].mean(axis=1),
-                       latent=lat)
+        return obj_mlp(p, stds, viewdirs=dirs_o[:, :, o, :], latent=lat)
 
     # Evaluate the shared MLP for each object slot (static unrolled loop:
     # n_obj is a config constant; each eval is a tiny GEMM batch).
