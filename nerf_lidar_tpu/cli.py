@@ -1,0 +1,406 @@
+"""Command-line entry points.
+
+Mirrors the reference's script surface (SURVEY.md sections L4/L5/L6):
+
+  python -m nerf_lidar_tpu.cli train        ~ zipnerf/train.py
+  python -m nerf_lidar_tpu.cli eval         ~ zipnerf/eval.py
+  python -m nerf_lidar_tpu.cli render_lidar ~ zipnerf/render_lidar.py
+  python -m nerf_lidar_tpu.cli raydrop_train ~ src/transfer_lidar_data.py
+  python -m nerf_lidar_tpu.cli raydrop_drop  ~ src/drop_simulation_rays.py
+
+Config: dataclass defaults + `--set key=value` dotted overrides (replacing
+gin bindings); the resolved config is snapshotted into the experiment dir
+(reference train.py:42-47).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+from typing import Any, List, Optional
+
+import numpy as np
+
+from . import configs
+
+
+def _coerce(cur, val: str):
+    if isinstance(cur, bool):
+        return val.lower() in ("1", "true", "yes")
+    if isinstance(cur, int):
+        return int(val)
+    if isinstance(cur, float):
+        return float(val)
+    if isinstance(cur, tuple):
+        parts = [p for p in val.strip("()[] ").split(",") if p]
+        elem = cur[0] if cur else 0
+        return tuple(type(elem)(p) for p in parts)
+    if cur is None:
+        for t in (int, float):
+            try:
+                return t(val)
+            except ValueError:
+                pass
+        return val
+    return type(cur)(val)
+
+
+def apply_overrides(cfg, overrides: List[str]):
+    """--set a.b.c=value on nested frozen dataclasses."""
+    for ov in overrides or []:
+        key, val = ov.split("=", 1)
+        parts = key.split(".")
+        cfg = _set_path(cfg, parts, val)
+    return cfg
+
+
+def _set_path(obj, parts: List[str], val: str):
+    name = parts[0]
+    cur = getattr(obj, name)
+    if len(parts) == 1:
+        return dataclasses.replace(obj, **{name: _coerce(cur, val)})
+    return dataclasses.replace(obj, **{name: _set_path(cur, parts[1:], val)})
+
+
+def build_config(args) -> configs.Config:
+    base = {
+        "nuscenes_single": configs.nuscenes_single,
+        "tiny_debug": configs.tiny_debug,
+        "default": configs.Config,
+    }[args.config]()
+    cfg = apply_overrides(base, args.set)
+    if args.data_dir:
+        cfg = dataclasses.replace(cfg, data_dir=args.data_dir)
+    if args.exp_name:
+        cfg = dataclasses.replace(cfg, exp_name=args.exp_name)
+    return cfg
+
+
+def load_scene_for(cfg: configs.Config, split: str = "train"):
+    """Dataset registry: {synthetic, nusc} (reference datasets.py:50-61 keeps
+    a loader registry; only the nuScenes path is first-class here)."""
+    if cfg.dataset_loader == "synthetic" or cfg.data_dir is None:
+        from .data import synthetic
+        _, data, _ = synthetic.make_scene_data(far=min(cfg.far, 12.0))
+        class _S:  # minimal scene wrapper
+            pass
+        s = _S()
+        s.data, s.tracks, s.track_mask, s.frame = data, None, None, None
+        from .lidar.transforms import SceneFrame
+        s.frame = SceneFrame.identity()
+        return s
+    from .data import nuscenes
+    return nuscenes.load_scene(
+        cfg.data_dir, split=split, factor=max(cfg.factor, 1),
+        load_lidar=cfg.lidar_supervision or split == "lidar",
+        load_objects=cfg.model.instance_obj)
+
+
+def exp_dir(cfg: configs.Config) -> str:
+    return os.path.join("exp", cfg.exp_name)
+
+
+def cmd_train(args):
+    import jax
+    import jax.numpy as jnp
+    from .data.batching import RayBatcher
+    from .models.model import Model
+    from .models import posenet as pn
+    from .train import checkpoints, train_step
+    from .utils.logging import MetricsLogger, Timer
+
+    cfg = build_config(args)
+    out = exp_dir(cfg)
+    os.makedirs(out, exist_ok=True)
+    with open(os.path.join(out, "config.json"), "w") as f:
+        f.write(cfg.to_json())
+
+    scene = load_scene_for(cfg, "train")
+    data = scene.data
+    tracks = (jnp.asarray(scene.tracks)
+              if getattr(scene, "tracks", None) is not None else None)
+    track_mask = (jnp.asarray(scene.track_mask)
+                  if getattr(scene, "track_mask", None) is not None else None)
+    mcfg = cfg.model
+    if tracks is not None and mcfg.instance_obj:
+        mcfg = dataclasses.replace(mcfg, num_objects=int(tracks.shape[0]))
+        cfg = dataclasses.replace(cfg, model=mcfg)
+    elif mcfg.instance_obj:
+        mcfg = dataclasses.replace(mcfg, instance_obj=False)
+        cfg = dataclasses.replace(cfg, model=mcfg)
+
+    devices = jax.devices()
+    mesh = None
+    if len(devices) > 1:
+        from jax.sharding import Mesh
+        mesh = Mesh(np.asarray(devices), ("data",))
+        print(f"data-parallel over {len(devices)} devices")
+
+    batcher = RayBatcher(data, cfg.batch_size, cfg.patch_size,
+                         lidar_supervision=cfg.lidar_supervision,
+                         lidar_batch_ratio=cfg.lidar_batch_ratio,
+                         seed=cfg.seed)
+    model = Model(cfg.model)
+    batch0 = jax.tree.map(jnp.asarray, batcher.next())
+    params = jax.jit(model.init)(jax.random.PRNGKey(cfg.seed), None, batch0,
+                                 tracks=tracks, track_mask=track_mask)
+
+    posenet = tracknet = None
+    pn_params = tn_params = None
+    if cfg.pose_refine:
+        posenet = pn.LearnPose(num_cams=data.num_views, num_lidars=1,
+                               t_ratio=cfg.t_ratio)
+        pn_params = posenet.init(jax.random.PRNGKey(1),
+                                 jnp.zeros(1, jnp.int32))
+    if cfg.track_refine and tracks is not None:
+        tracknet = pn.TrackOpt(num_objects=int(tracks.shape[0]),
+                               num_timestamps=int(tracks.shape[1]))
+        tn_params = tracknet.init(jax.random.PRNGKey(2), tracks)
+
+    state, tx = train_step.create_train_state(cfg, params, pn_params,
+                                              tn_params)
+    state, init_step = checkpoints.restore_checkpoint(out, state)
+    step_fn = train_step.make_train_step(
+        model, tx, cfg, mesh=mesh, num_patch_rays=batcher.num_patch_rays,
+        posenet_model=posenet, tracknet_model=tracknet)
+
+    logger = MetricsLogger(out)
+    timer = Timer()
+    key = jax.random.PRNGKey(cfg.seed + 17)
+    max_steps = args.steps or cfg.max_steps
+    for step in range(init_step, max_steps):
+        batch = jax.tree.map(jnp.asarray, batcher.next())
+        key, sub = jax.random.split(key)
+        state, stats = step_fn(state, batch, sub, tracks, track_mask)
+        timer.tick(batcher.total_rays)
+        if (step + 1) % cfg.print_every == 0:
+            jax.block_until_ready(stats["loss"])
+            dt, rays_per_sec = timer.mark()
+            logger.log(step + 1, loss=stats["loss"], psnr=stats["psnr"],
+                       rays_per_sec=rays_per_sec,
+                       **{k: v for k, v in stats.items()
+                          if not k.startswith("_") and k not in
+                          ("loss", "psnr")})
+            print(f"step {step + 1}: loss={float(stats['loss']):.4f} "
+                  f"psnr={float(stats['psnr']):.2f} "
+                  f"rays/s={rays_per_sec:,.0f}")
+        if (step + 1) % cfg.checkpoint_every == 0 or step + 1 == max_steps:
+            checkpoints.save_checkpoint(out, state, step + 1,
+                                        keep=cfg.checkpoint_keep)
+    print(f"done: {out}")
+
+
+def cmd_eval(args):
+    import jax
+    import jax.numpy as jnp
+    from .models.model import Model
+    from .renderer import ChunkRenderer, render_view
+    from .train import checkpoints, train_step
+    from .utils.image import MetricHarness, color_correct
+    from .data import camera as camlib
+
+    cfg = build_config(args)
+    out = exp_dir(cfg)
+    scene = load_scene_for(cfg, "test")
+    data = scene.data
+    model = Model(dataclasses.replace(
+        cfg.model, instance_obj=False) if getattr(scene, "tracks", None)
+        is None else cfg.model)
+
+    # Restore params (via a dummy state with matching structure).
+    batch0 = _probe_batch(data)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), None, batch0)
+    state, tx = train_step.create_train_state(cfg, params)
+    state, step = checkpoints.restore_checkpoint(out, state)
+    params = state.params["model"] if isinstance(state.params, dict) and \
+        "model" in state.params else state.params
+    print(f"restored step {step}")
+
+    renderer = ChunkRenderer(model, cfg, cfg.render_chunk_size)
+    harness = MetricHarness()
+    metrics = []
+    n_views = min(data.num_views, args.max_views or data.num_views)
+    os.makedirs(os.path.join(out, "eval"), exist_ok=True)
+    for i in range(n_views):
+        pixtocam = (data.pixtocam if data.pixtocam.ndim == 2
+                    else data.pixtocam[i])
+        x, y = np.meshgrid(np.arange(data.width), np.arange(data.height))
+        rays = camlib.pixels_to_rays(x, y, pixtocam, data.camtoworlds[i])
+        rays["near"] = np.full((data.height, data.width, 1), data.near,
+                               np.float32)
+        rays["far"] = np.full((data.height, data.width, 1), data.far,
+                              np.float32)
+        img = render_view(renderer, params, rays)
+        gt = data.images[i]
+        m = harness(jnp.asarray(img["rgb"]), jnp.asarray(gt))
+        cc = np.asarray(color_correct(jnp.asarray(img["rgb"]),
+                                      jnp.asarray(gt)))
+        m.update(harness(jnp.asarray(cc), jnp.asarray(gt), "_cc"))
+        metrics.append(m)
+        print(f"view {i}: " + " ".join(f"{k}={v:.3f}"
+                                       for k, v in m.items()))
+        np.save(os.path.join(out, "eval", f"rgb_{i:03d}.npy"), img["rgb"])
+    avg = {k: float(np.mean([m[k] for m in metrics])) for k in metrics[0]}
+    print("mean:", avg)
+    import json
+    with open(os.path.join(out, "eval", "metrics.json"), "w") as f:
+        json.dump(avg, f, indent=2)
+
+
+def _probe_batch(data, n: int = 8):
+    import jax.numpy as jnp
+    rng = np.random.RandomState(0)
+    d = rng.randn(n, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return {k: jnp.asarray(v) for k, v in dict(
+        origins=np.zeros((n, 3), np.float32), directions=d, viewdirs=d,
+        base_x=d, base_y=d, radii=np.full((n, 1), 1e-3, np.float32),
+        near=np.full((n, 1), data.near, np.float32),
+        far=np.full((n, 1), data.far, np.float32),
+        timestamp=np.zeros(n, np.float32)).items()}
+
+
+def cmd_render_lidar(args):
+    import jax
+    from .models.model import Model
+    from .renderer import ChunkRenderer
+    from .train import checkpoints, train_step
+    from .lidar import sensor
+    from .lidar.render import render_sweeps_to_dir
+
+    cfg = build_config(args)
+    out = exp_dir(cfg)
+    scene = load_scene_for(cfg, "lidar")
+    data = scene.data
+    frame = scene.frame
+
+    model = Model(dataclasses.replace(cfg.model, instance_obj=False))
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), None, _probe_batch(data))
+    state, tx = train_step.create_train_state(cfg, params)
+    state, step = checkpoints.restore_checkpoint(out, state)
+    params = state.params["model"] if isinstance(state.params, dict) and \
+        "model" in state.params else state.params
+    print(f"restored step {step}")
+
+    lidar = getattr(scene, "lidar", None)
+    if args.mode == "replay" and lidar is not None:
+        # Real trajectory: per-sweep centers from the loaded scene.
+        l2g = lidar["lidar2globals"]
+        centers = l2g[:, :3, 3]
+        sweeps = sensor.replay_sweeps(centers, l2g, frame)
+    else:
+        start = np.array(args.start or [0.0, 0.0, 0.6])
+        end = np.array(args.end or [10.0, 0.0, 0.6])
+        sweeps, trace = sensor.simulated_sweeps(
+            start, end, np.eye(4), frame, num_sweeps=args.num_sweeps,
+            complicated=args.complicated)
+        np.save(os.path.join(out, "ego_trace.npy"), trace)
+    sweeps = sweeps[: args.num_sweeps]
+
+    renderer = ChunkRenderer(model, cfg, cfg.render_chunk_size)
+    sweep_dir = os.path.join(out, f"lidar_{args.mode}")
+    paths = render_sweeps_to_dir(renderer, params, sweeps, data.near,
+                                 data.far, frame, sweep_dir)
+    print(f"wrote {len(paths)} sweeps to {sweep_dir}")
+
+
+def cmd_raydrop_train(args):
+    from .raydrop import features as feat_lib
+    from .raydrop.trainer import RayDropConfig, RayDropTrainer
+
+    data = np.load(args.features, allow_pickle=True).item() \
+        if args.features.endswith(".npy") else None
+    if data is None:
+        raise SystemExit("--features must point to a .npy dict of "
+                         "images/masks/ranges (see build_training_set)")
+    cfg = RayDropConfig(epochs=args.epochs, vgg=not args.no_vgg,
+                        batch_size=args.batch_size)
+    trainer = RayDropTrainer(cfg)
+    out = os.path.join("exp", args.exp_name or "raydrop")
+    trainer.fit(data, save_dir=out)
+    print(f"raydrop checkpoints in {out}")
+
+
+def cmd_raydrop_drop(args):
+    from .raydrop.trainer import RayDropConfig, RayDropTrainer
+    from .raydrop import infer as infer_lib
+
+    cfg = RayDropConfig(vgg=False)
+    trainer = RayDropTrainer(cfg)
+    state = trainer.restore(args.ckpt, args.height, args.width)
+    sweeps = []
+    i = 0
+    while True:
+        p = os.path.join(args.simulation_path, f"points_{i:04d}.npy")
+        if not os.path.exists(p):
+            break
+        pts = np.load(p)
+        sem = np.load(os.path.join(args.simulation_path,
+                                   f"points_semantic_{i:04d}.npy"))
+        rgb_p = os.path.join(args.simulation_path,
+                             f"points_rgb_{i:04d}.npy")
+        rgb = np.load(rgb_p) if os.path.exists(rgb_p) \
+            else np.zeros((len(pts), 3), np.float32)
+        sweeps.append((pts, sem, rgb))
+        i += 1
+    n = infer_lib.drop_and_export(trainer, state, sweeps, args.out,
+                                  h=args.height, w=args.width)
+    print(f"exported {n} sweeps to {args.out}")
+
+
+def main(argv: Optional[List[str]] = None):
+    p = argparse.ArgumentParser("nerf_lidar_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--config", default="nuscenes_single",
+                        choices=["nuscenes_single", "tiny_debug", "default"])
+        sp.add_argument("--data_dir", default=None)
+        sp.add_argument("--exp_name", default=None)
+        sp.add_argument("--set", action="append", default=[],
+                        help="dotted config override key=value")
+
+    sp = sub.add_parser("train")
+    common(sp)
+    sp.add_argument("--steps", type=int, default=0)
+    sp.set_defaults(fn=cmd_train)
+
+    sp = sub.add_parser("eval")
+    common(sp)
+    sp.add_argument("--max_views", type=int, default=0)
+    sp.set_defaults(fn=cmd_eval)
+
+    sp = sub.add_parser("render_lidar")
+    common(sp)
+    sp.add_argument("--mode", default="simu", choices=["replay", "simu"])
+    sp.add_argument("--num_sweeps", type=int, default=10)
+    sp.add_argument("--complicated", action="store_true")
+    sp.add_argument("--start", type=float, nargs=3)
+    sp.add_argument("--end", type=float, nargs=3)
+    sp.set_defaults(fn=cmd_render_lidar)
+
+    sp = sub.add_parser("raydrop_train")
+    sp.add_argument("--features", required=True)
+    sp.add_argument("--exp_name", default="raydrop")
+    sp.add_argument("--epochs", type=int, default=100)
+    sp.add_argument("--batch_size", type=int, default=4)
+    sp.add_argument("--no_vgg", action="store_true")
+    sp.set_defaults(fn=cmd_raydrop_train)
+
+    sp = sub.add_parser("raydrop_drop")
+    sp.add_argument("--ckpt", required=True)
+    sp.add_argument("--simulation_path", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--height", type=int, default=32)
+    sp.add_argument("--width", type=int, default=1024)
+    sp.set_defaults(fn=cmd_raydrop_drop)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -28,7 +28,7 @@ from . import camera as camlib
 class SceneData:
     """In-memory scene: cameras + per-view supervision + LiDAR returns."""
     camtoworlds: np.ndarray  # [N, 3, 4]
-    pixtocam: np.ndarray  # [3, 3]
+    pixtocam: np.ndarray  # [3, 3] shared, or [N, 3, 3] per view
     images: np.ndarray  # [N, H, W, 3] float in [0, 1]
     near: float
     far: float
@@ -123,7 +123,8 @@ class RayBatcher:
 
     def _camera_ray_batch(self, x, y, cam) -> Dict[str, np.ndarray]:
         s = self.scene
-        rays = camlib.pixels_to_rays(x, y, s.pixtocam,
+        pixtocam = s.pixtocam if s.pixtocam.ndim == 2 else s.pixtocam[cam]
+        rays = camlib.pixels_to_rays(x, y, pixtocam,
                                      s.camtoworlds[cam])
         n = x.shape[0]
         batch = dict(rays)

@@ -1,0 +1,174 @@
+import json
+import os
+
+import numpy as np
+import pytest
+
+from nerf_lidar_tpu.data import camera as camlib
+from nerf_lidar_tpu.data import nuscenes, quaternion as quat
+from nerf_lidar_tpu.data.batching import RayBatcher
+
+
+H, W, N_IMAGES, N_SWEEPS = 24, 32, 12, 3
+
+
+@pytest.fixture(scope="module")
+def scene_dir(tmp_path_factory):
+    """Fabricate a scene directory in the reference's on-disk layout."""
+    rng = np.random.RandomState(0)
+    root = str(tmp_path_factory.mktemp("nusc_scene"))
+
+    # Cameras on an arc, LLFF-convention poses_bounds.
+    focal = 30.0
+    poses_rows = []
+    c2ws = []
+    for i in range(N_IMAGES):
+        eye = np.array([50 + i * 0.5, -20.0, 1.5])
+        c2w = camlib.lookat_pose(eye, eye + np.array([1.0, 0.2, 0.0]))
+        c2ws.append(c2w)
+        # Invert the loader's LLFF->OpenGL conversion:
+        # loader does [p1, -p0, p2]; so store [-u, r, -t] = [-p1_gl... ]
+        gl = c2w
+        llff = np.concatenate(
+            [-gl[:, 1:2], gl[:, 0:1], gl[:, 2:4]], axis=1)  # [3, 4]
+        k_col = np.array([[W / 2.0], [H / 2.0], [focal]])
+        row = np.concatenate([llff, k_col], axis=1).reshape(-1)  # [15]
+        row = np.concatenate([row, [2.0, 80.0], [H, W]])  # bounds + hw
+        poses_rows.append(row)
+    np.save(os.path.join(root, "poses_bounds.npy"),
+            np.stack(poses_rows).astype(np.float32))
+
+    os.makedirs(os.path.join(root, "images"))
+    os.makedirs(os.path.join(root, "depth"))
+    os.makedirs(os.path.join(root, "labels"))
+    os.makedirs(os.path.join(root, "mask"))
+    import imageio.v2 as imageio
+    for i in range(N_IMAGES):
+        imageio.imwrite(os.path.join(root, "images", f"{i:06d}.png"),
+                        rng.randint(0, 255, (H, W, 3), np.uint8))
+        imageio.imwrite(os.path.join(root, "depth", f"{i:06d}.png"),
+                        (rng.rand(H, W) * 50 * 256).astype(np.uint16))
+        imageio.imwrite(os.path.join(root, "labels", f"{i:06d}.png"),
+                        rng.randint(0, 19, (H, W), np.uint8))
+        # One moving-object box per frame: rows "cls y0 x0 y1 x1".
+        with open(os.path.join(root, "mask", f"{i:06d}.txt"), "w") as f:
+            f.write(f"13 2 4 {H // 2} {W // 2}\n")
+
+    times = 1.6e15 + np.arange(N_IMAGES) * 0.5e6  # 0.5 s apart, microseconds
+    np.savetxt(os.path.join(root, "timestamps.txt"), times)
+
+    cam2global = np.eye(4)
+    cam2global[:3, 3] = [50.0, -20.0, 1.5]
+    np.save(os.path.join(root, "c2w.npy"), cam2global)
+    np.save(os.path.join(root, "lidar2cam.npy"), np.eye(4))
+
+    # One vehicle track annotated at 3 times.
+    ann = []
+    for k in range(3):
+        center = [55.0 + k, -19.0, 0.8]
+        wlh = [2.0, 4.5, 1.6]
+        q = quat.normalize(np.array([np.cos(0.1 * k), 0, 0,
+                                     np.sin(0.1 * k)]))
+        ann.append(center + wlh + list(q) + [float(times[k * 4]),
+                                             "vehicle.car"])
+    with open(os.path.join(root, "bboxes.json"), "w") as f:
+        json.dump({"instance_0": ann, "ego": [[0] * 11 + ["ego"]]}, f)
+
+    # LiDAR: sweeps of random returns in the sensor frame.
+    ld = os.path.join(root, "lidar_points")
+    os.makedirs(ld)
+    l2g = np.tile(np.eye(4), (N_SWEEPS, 1, 1))
+    for i in range(N_SWEEPS):
+        l2g[i, :3, 3] = [50.0 + i, -20.0, 1.7]
+        pts = rng.randn(500, 3) * np.array([20, 20, 2]) + np.array([0, 0, 0])
+        d = np.linalg.norm(pts, axis=1)
+        scan = np.concatenate(
+            [pts, rng.rand(500, 1) * 100, np.zeros((500, 1))],
+            axis=1).astype(np.float32)
+        scan.tofile(os.path.join(ld, f"{i:06d}.bin"))
+        center_mat = np.eye(4)
+        center_mat[:3, 3] = l2g[i, :3, 3]
+        np.save(os.path.join(ld, f"points{i:03d}.npy"), center_mat)
+    np.save(os.path.join(ld, "lidar2global.npy"), l2g)
+    np.savetxt(os.path.join(ld, "timestamps.txt"),
+               times[:N_SWEEPS])
+    return root
+
+
+def test_load_poses_bounds_roundtrip(scene_dir):
+    poses, K, hw, bounds = nuscenes.load_poses_bounds(scene_dir)
+    assert poses.shape == (N_IMAGES, 3, 4)
+    assert K.shape == (N_IMAGES, 3, 3)
+    np.testing.assert_allclose(K[0, 0, 0], 30.0)
+    # Rotations are orthonormal after the LLFF->OpenGL conversion.
+    RtR = np.einsum("nij,nik->njk", poses[:, :, :3], poses[:, :, :3])
+    np.testing.assert_allclose(RtR, np.tile(np.eye(3), (N_IMAGES, 1, 1)),
+                               atol=1e-5)
+
+
+def test_load_scene_shapes_and_masks(scene_dir):
+    scene = nuscenes.load_scene(scene_dir, split="train")
+    d = scene.data
+    assert d.images.shape == (N_IMAGES, H, W, 3)
+    assert d.depths.shape == (N_IMAGES, H, W)
+    assert d.semantics.shape == (N_IMAGES, H, W)
+    # Moving-object mask excluded some pixels (mask=1 means exclude).
+    assert d.masks.sum() > 0
+    # Depth scaled into scene units.
+    assert d.depths.max() <= 51 * scene.frame.scale + 1e-3
+    assert d.near == pytest.approx(2 * scene.frame.scale)
+    # Timestamps normalized to seconds from scene start.
+    assert d.timestamps is not None
+    np.testing.assert_allclose(d.timestamps[1] - d.timestamps[0], 0.5,
+                               atol=1e-6)
+    # Splits.
+    assert len(scene.splits["lidar"]) == 2
+    assert len(scene.splits["test"]) == 2  # every 10th of 12
+
+
+def test_load_scene_tracks(scene_dir):
+    scene = nuscenes.load_scene(scene_dir)
+    assert scene.tracks is not None
+    assert scene.tracks.shape == (1, N_IMAGES, 9)
+    assert scene.track_classes == ["vehicle.car"]
+    tr = scene.tracks[0]
+    # Inside the annotated window the box has nonzero size, outside zero.
+    times = scene.data.timestamps
+    inside = (times >= 0.0) & (times <= 4.0)
+    assert (tr[inside, 4:7] > 0).all()
+    assert (tr[~inside, 4:7] == 0).all()
+    # Track center is interpolated in scene coordinates: stays near the
+    # transformed annotation centers.
+    c_world = np.array([55.5, -19.0, 0.8])
+    from nerf_lidar_tpu.lidar.transforms import apply_rigid, inv_rigid
+    c_cam = apply_rigid(inv_rigid(scene.cam2global), c_world)
+    c_scene = scene.frame.world_to_scene_points(c_cam)
+    mid = tr[inside][1, :3]
+    assert np.linalg.norm(mid - c_scene) < 2.5 * scene.frame.scale
+
+
+def test_load_scene_lidar_rays(scene_dir):
+    scene = nuscenes.load_scene(scene_dir)
+    d = scene.data
+    assert d.lidar_origins is not None
+    n = d.lidar_origins.shape[0]
+    assert d.lidar_dirs.shape == (n, 3)
+    np.testing.assert_allclose(np.linalg.norm(d.lidar_dirs, axis=-1), 1.0,
+                               atol=1e-4)
+    # Range gate: 3..100 m in world units -> scaled.
+    assert d.lidar_depth.min() >= 3 * scene.frame.scale - 1e-6
+    assert d.lidar_depth.max() <= 100 * scene.frame.scale + 1e-6
+    assert d.lidar_intensity.max() <= 1.0 + 1e-6
+    assert d.lidar_timestamps is not None
+
+
+def test_batcher_runs_on_loaded_scene(scene_dir):
+    scene = nuscenes.load_scene(scene_dir)
+    b = RayBatcher(scene.data, batch_size=128, patch_size=4,
+                   lidar_supervision=True)
+    batch = b.next()
+    assert batch["origins"].shape[0] == 128 + 32
+    assert batch["lidar_mask"].sum() == 32
+    assert np.isfinite(batch["depth"]).all()
+    # Per-view intrinsics path exercised (pixtocam is [N, 3, 3]).
+    assert scene.data.pixtocam.ndim == 3
