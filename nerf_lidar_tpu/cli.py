@@ -262,6 +262,148 @@ def _probe_batch(data, n: int = 8):
         timestamp=np.zeros(n, np.float32)).items()}
 
 
+def _restore_model_params(cfg, model, data):
+    """Init a matching params tree and restore the latest checkpoint."""
+    import jax
+    from .train import checkpoints, train_step
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), None,
+                                 _probe_batch(data))
+    state, tx = train_step.create_train_state(cfg, params)
+    state, step = checkpoints.restore_checkpoint(exp_dir(cfg), state)
+    p = state.params
+    return (p["model"] if isinstance(p, dict) and "model" in p else p), step
+
+
+def cmd_render(args):
+    """Test-view / path rendering with visualization panels + video
+    (reference render.py:24-208)."""
+    import jax.numpy as jnp
+    from .models.model import Model
+    from .renderer import ChunkRenderer, render_view
+    from .utils import vis as vis_lib
+    from .data import camera as camlib
+
+    cfg = build_config(args)
+    out = exp_dir(cfg)
+    scene = load_scene_for(cfg, "test")
+    data = scene.data
+    model = Model(dataclasses.replace(cfg.model, instance_obj=False))
+    params, step = _restore_model_params(cfg, model, data)
+    print(f"restored step {step}")
+
+    if args.path == "ellipse":
+        poses = camlib.generate_ellipse_path(data.camtoworlds,
+                                             n_frames=args.num_frames)
+    else:
+        poses = data.camtoworlds[: args.num_frames or None]
+
+    renderer = ChunkRenderer(model, cfg, cfg.render_chunk_size,
+                             compute_extras=True)
+    render_dir = os.path.join(out, f"render_{args.path}")
+    for i, pose in enumerate(poses):
+        pixtocam = (data.pixtocam if data.pixtocam.ndim == 2
+                    else data.pixtocam[min(i, len(data.pixtocam) - 1)])
+        x, y = np.meshgrid(np.arange(data.width), np.arange(data.height))
+        rays = camlib.pixels_to_rays(x, y, pixtocam, pose)
+        rays["near"] = np.full((data.height, data.width, 1), data.near,
+                               np.float32)
+        rays["far"] = np.full((data.height, data.width, 1), data.far,
+                              np.float32)
+        img = render_view(renderer, params, rays)
+        panels = vis_lib.visualize_suite(img, near=data.near, far=data.far)
+        vis_lib.save_panels(panels, render_dir, i)
+        print(f"rendered frame {i}")
+    if args.video:
+        _assemble_video(render_dir, "color", args.fps)
+    print(f"frames in {render_dir}")
+
+
+def _assemble_video(render_dir: str, prefix: str, fps: int = 30):
+    """Frame PNGs -> mp4 via imageio/ffmpeg when available
+    (reference render.py create_videos)."""
+    import glob as globlib
+    import imageio.v2 as imageio
+    frames = sorted(globlib.glob(os.path.join(render_dir,
+                                              f"{prefix}_*.png")))
+    if not frames:
+        return
+    path = os.path.join(render_dir, f"{prefix}.mp4")
+    try:
+        with imageio.get_writer(path, fps=fps) as w:
+            for f in frames:
+                w.append_data(imageio.imread(f))
+        print(f"wrote {path}")
+    except Exception:  # no ffmpeg backend: fall back to GIF
+        path = os.path.join(render_dir, f"{prefix}.gif")
+        imageio.mimsave(path, [imageio.imread(f) for f in frames],
+                        duration=1.0 / fps)
+        print(f"wrote {path} (no ffmpeg; GIF fallback)")
+
+
+def cmd_render_video(args):
+    """Scene-edit rendering: simu modes + track manipulation
+    (reference render_video.py:95-130)."""
+    import jax.numpy as jnp
+    from .models.model import Model
+    from .models import objects as objlib
+    from .renderer import ChunkRenderer, render_view
+    from .utils import vis as vis_lib
+    from .data import camera as camlib
+
+    cfg = build_config(args)
+    out = exp_dir(cfg)
+    scene = load_scene_for(cfg, "train")
+    data = scene.data
+    tracks = getattr(scene, "tracks", None)
+    track_mask = getattr(scene, "track_mask", None)
+
+    angle, tracks = objlib.simu_info(args.mode, tracks)
+    if tracks is not None and angle:
+        tracks = objlib.manipulate_tracks(tracks, angle)
+    if args.insert_track and tracks is not None:
+        new = np.load(args.insert_track)
+        tracks, track_mask, _ = objlib.edit_tracks(
+            tracks, track_mask, getattr(scene, "track_classes", []), new)
+
+    use_obj = tracks is not None and cfg.model.instance_obj
+    mcfg = dataclasses.replace(
+        cfg.model, instance_obj=use_obj,
+        num_objects=int(tracks.shape[0]) if use_obj else 0,
+        # Bump proposal samples for video quality (render_video.py:130).
+        num_prop_samples=(256, 64) if args.hq else cfg.model.num_prop_samples,
+        num_nerf_samples=(64 if args.hq else cfg.model.num_nerf_samples))
+    model = Model(mcfg)
+    params, step = _restore_model_params(
+        dataclasses.replace(cfg, model=mcfg), model, data)
+    print(f"restored step {step}")
+
+    tracks_j = jnp.asarray(tracks) if use_obj else None
+    mask_j = jnp.asarray(track_mask) if use_obj else None
+    renderer = ChunkRenderer(model, cfg, cfg.render_chunk_size,
+                             compute_extras=True)
+    render_dir = os.path.join(out, f"video_{args.mode}")
+    n = min(args.num_frames, data.num_views)
+    for i in range(n):
+        pixtocam = (data.pixtocam if data.pixtocam.ndim == 2
+                    else data.pixtocam[i])
+        x, y = np.meshgrid(np.arange(data.width), np.arange(data.height))
+        rays = camlib.pixels_to_rays(x, y, pixtocam, data.camtoworlds[i])
+        rays["near"] = np.full((data.height, data.width, 1), data.near,
+                               np.float32)
+        rays["far"] = np.full((data.height, data.width, 1), data.far,
+                              np.float32)
+        if data.timestamps is not None:
+            rays["timestamp"] = np.full((data.height, data.width),
+                                        data.timestamps[i], np.float32)
+        img = render_view(renderer, params, rays, tracks_j, mask_j)
+        panels = vis_lib.visualize_suite(img, near=data.near, far=data.far)
+        vis_lib.save_panels(panels, render_dir, i)
+        print(f"rendered frame {i}")
+    if args.video:
+        _assemble_video(render_dir, "color", args.fps)
+    print(f"frames in {render_dir}")
+
+
 def cmd_render_lidar(args):
     import jax
     from .models.model import Model
@@ -372,6 +514,25 @@ def main(argv: Optional[List[str]] = None):
     common(sp)
     sp.add_argument("--max_views", type=int, default=0)
     sp.set_defaults(fn=cmd_eval)
+
+    sp = sub.add_parser("render")
+    common(sp)
+    sp.add_argument("--path", default="test", choices=["test", "ellipse"])
+    sp.add_argument("--num_frames", type=int, default=0)
+    sp.add_argument("--video", action="store_true")
+    sp.add_argument("--fps", type=int, default=30)
+    sp.set_defaults(fn=cmd_render)
+
+    sp = sub.add_parser("render_video")
+    common(sp)
+    sp.add_argument("--mode", default="replay",
+                    choices=["replay", "laneshift", "removal", "rotate"])
+    sp.add_argument("--num_frames", type=int, default=10)
+    sp.add_argument("--insert_track", default=None)
+    sp.add_argument("--hq", action="store_true")
+    sp.add_argument("--video", action="store_true")
+    sp.add_argument("--fps", type=int, default=30)
+    sp.set_defaults(fn=cmd_render_video)
 
     sp = sub.add_parser("render_lidar")
     common(sp)

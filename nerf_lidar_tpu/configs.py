@@ -45,6 +45,15 @@ class MLPConfig:
     skip_layer_dir: int = 0
     num_rgb_channels: int = 3
     deg_view: int = 4
+    use_directional_enc: bool = False  # IDE instead of posenc dirs
+    use_reflections: bool = False  # encode reflection dirs (ref-NeRF)
+    enable_pred_normals: bool = False  # predicted-normal head
+    enable_pred_roughness: bool = False
+    roughness_bias: float = -1.0
+    use_n_dot_v: bool = False
+    use_diffuse_color: bool = False
+    use_specular_tint: bool = False
+    normal_eps: float = 1e-2  # finite-difference step for density normals
     bottleneck_noise: float = 0.0
     density_bias: float = -1.0
     density_noise: float = 0.0
@@ -169,6 +178,11 @@ class Config:
     semantic_loss_mult: float = 0.05
     intensity_loss_mult: float = 1.0
     normal_supervision: bool = False
+    orientation_loss_mult: float = 0.0
+    orientation_coarse_loss_mult: float = 0.0
+    orientation_loss_target: str = "normals_pred"
+    predicted_normal_loss_mult: float = 0.0
+    predicted_normal_coarse_loss_mult: float = 0.0
     latent_reg: float = 0.01
     sym_loss: float = 1.0
     sym_start: int = 5000

@@ -139,6 +139,71 @@ def unpad_poses(p: np.ndarray) -> np.ndarray:
     return p[..., :3, :4]
 
 
+def generate_ellipse_path(poses: np.ndarray, n_frames: int = 120,
+                          z_variation: float = 0.0,
+                          z_phase: float = 0.0) -> np.ndarray:
+    """Inward-facing elliptical render path fitted to the training cameras
+    (reference camera_utils.py:206-276, low/high-percentile ellipse)."""
+    center = focus_point_fn(poses)
+    offset = np.array([center[0], center[1], 0])
+    sc = np.percentile(np.abs(poses[:, :3, 3] - offset), 90, axis=0)
+    low = -sc + offset
+    high = sc + offset
+    z_low = np.percentile(poses[:, :3, 3], 10, axis=0)
+    z_high = np.percentile(poses[:, :3, 3], 90, axis=0)
+
+    def get_positions(theta):
+        return np.stack([
+            low[0] + (high - low)[0] * (np.cos(theta) * 0.5 + 0.5),
+            low[1] + (high - low)[1] * (np.sin(theta) * 0.5 + 0.5),
+            z_variation * (z_low[2] + (z_high - z_low)[2] *
+                           (np.cos(theta + 2 * np.pi * z_phase) * 0.5 + 0.5))
+            + (1 - z_variation) * poses[:, 2, 3].mean(),
+        ], -1)
+
+    theta = np.linspace(0, 2 * np.pi, n_frames + 1, endpoint=True)[:-1]
+    positions = get_positions(theta)
+    return np.stack([lookat_pose(p, center) for p in positions])
+
+
+def cast_spherical_rays(camtoworld: np.ndarray, height: int, width: int,
+                        near: float, far: float) -> Dict[str, np.ndarray]:
+    """Equirectangular ray grid for 360 panoramas / object-instance renders
+    (reference camera_utils.py:644-687). Returns [H, W, ...] ray fields; the
+    pixel bases fall back to the finite-difference neighbor directions."""
+    theta_vals = np.linspace(0, 2 * np.pi, width + 1)
+    phi_vals = np.linspace(0, np.pi, height + 1)
+    theta, phi = np.meshgrid(theta_vals, phi_vals, indexing="xy")
+
+    directions = np.stack([
+        -np.sin(phi) * np.sin(theta),
+        np.cos(phi),
+        np.sin(phi) * np.cos(theta)], axis=-1)
+    directions = (camtoworld[:3, :3] @ directions[..., None])[..., 0]
+
+    dy = np.diff(directions[:, :-1], axis=0)
+    dx = np.diff(directions[:-1, :], axis=1)
+    directions = directions[:-1, :-1]
+    origins = np.broadcast_to(camtoworld[:3, -1], directions.shape)
+
+    dx_norm = np.linalg.norm(dx, axis=-1)
+    dy_norm = np.linalg.norm(dy, axis=-1)
+    radii = (0.5 * (dx_norm + dy_norm))[..., None] * 2 / np.sqrt(12)
+    base_x = dx / np.maximum(dx_norm[..., None], 1e-12)
+    base_y = dy / np.maximum(dy_norm[..., None], 1e-12)
+
+    shape = directions.shape[:-1]
+    return dict(
+        origins=np.ascontiguousarray(origins, np.float32),
+        directions=directions.astype(np.float32),
+        viewdirs=directions.astype(np.float32),
+        radii=radii.astype(np.float32),
+        base_x=base_x.astype(np.float32),
+        base_y=base_y.astype(np.float32),
+        near=np.full(shape + (1,), near, np.float32),
+        far=np.full(shape + (1,), far, np.float32))
+
+
 def lookat_pose(eye: np.ndarray, target: np.ndarray,
                 up: Optional[np.ndarray] = None) -> np.ndarray:
     """OpenGL camera-to-world [3,4]: -z looks from eye toward target."""

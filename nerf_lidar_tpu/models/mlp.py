@@ -27,8 +27,19 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..configs import MLPConfig
-from ..ops import coord
+from ..ops import coord, ref_utils
 from ..ops import grid as gridlib
+
+
+def _l2_normalize(x, eps: float = 1e-5):
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), eps)
+
+
+def _per_sample_vec(v, like):
+    """Broadcast a per-ray [..., 3] vector to per-sample [..., S, 3]."""
+    if v.ndim == like.ndim:
+        return jnp.broadcast_to(v, like.shape[:-1] + (v.shape[-1],))
+    return jnp.broadcast_to(v[..., None, :], like.shape[:-1] + (v.shape[-1],))
 
 
 class ZipMLP(nn.Module):
@@ -69,6 +80,9 @@ class ZipMLP(nn.Module):
                        else nn.initializers.zeros)))
         self.density_layers = layers
 
+        if c.enable_pred_normals:
+            self.normal_layer = nn.Dense(3)
+
         if not c.disable_rgb:
             if c.num_glo_features > 0:
                 glo = []
@@ -76,6 +90,13 @@ class ZipMLP(nn.Module):
                     glo.append(nn.Dense(c.net_width_glo))
                 glo.append(nn.Dense(c.bottleneck_width * 2))
                 self.glo_layers = glo
+
+            if c.use_diffuse_color:
+                self.diffuse_layer = nn.Dense(c.num_rgb_channels)
+            if c.use_specular_tint:
+                self.specular_layer = nn.Dense(3)
+            if c.enable_pred_roughness:
+                self.roughness_layer = nn.Dense(1)
 
             kaiming = nn.initializers.kaiming_uniform()
             self.view_layers = [
@@ -88,7 +109,18 @@ class ZipMLP(nn.Module):
             if c.use_intensity:
                 self.intensity_layers = [nn.Dense(64), nn.Dense(1)]
 
-    def _dir_enc(self, viewdirs):
+        if self.cfg.use_directional_enc:
+            self._ide_fn = ref_utils.generate_ide_fn(self.cfg.deg_view)
+        else:
+            self._ide_fn = None
+
+    def _dir_enc(self, viewdirs, roughness=None):
+        """Direction encoding: IDE (models.py:856-858) or posenc
+        (models.py:861-866)."""
+        if self._ide_fn is not None:
+            if roughness is None:
+                roughness = jnp.zeros_like(viewdirs[..., :1])
+            return self._ide_fn(viewdirs, roughness)
         return coord.pos_enc(viewdirs, min_deg=0, max_deg=self.cfg.deg_view,
                              append_identity=True)
 
@@ -165,9 +197,20 @@ class ZipMLP(nn.Module):
             means, stds, latent=latent, key=noise_key)
         density = jax.nn.softplus(raw_density + c.density_bias)
 
+        normals = None
+        if not c.disable_density_normals:
+            normals = self._finite_difference_normals(means, stds)
+
         out = dict(density=density, rgb=None, semantic=None, intensity=None,
-                   normals=None, normals_pred=None, roughness=None,
+                   normals=normals, normals_pred=None, roughness=None,
                    raw_grad_density=None, grad_pred=None)
+
+        if c.enable_pred_normals:
+            grad_pred = self.normal_layer(x)
+            out["grad_pred"] = grad_pred
+            out["normals_pred"] = -_l2_normalize(grad_pred)
+        normals_to_use = (out["normals_pred"]
+                          if c.enable_pred_normals else normals)
 
         if c.disable_rgb:
             out["rgb"] = jnp.zeros(density.shape + (3,), density.dtype)
@@ -220,9 +263,38 @@ class ZipMLP(nn.Module):
             return jnp.broadcast_to(v[..., None, :],
                                     bottleneck.shape[:-1] + (v.shape[-1],))
 
+        raw_rgb_diffuse = None
+        tint = None
+        roughness = None
+        if c.use_diffuse_color:
+            raw_rgb_diffuse = self.diffuse_layer(x)
+        if c.use_specular_tint:
+            tint = jax.nn.sigmoid(self.specular_layer(x))
+        if c.enable_pred_roughness:
+            roughness = jax.nn.softplus(
+                self.roughness_layer(x) + c.roughness_bias)
+            out["roughness"] = roughness
+
         parts = [bottleneck]
         if viewdirs is not None:
-            parts.append(_per_sample(self._dir_enc(viewdirs)))
+            if c.use_reflections:
+                # Reflect about the per-sample normals; viewdirs flipped to
+                # point toward the camera (models.py:1180-1187).
+                refdirs = ref_utils.reflect(
+                    -_per_sample_vec(viewdirs, bottleneck), normals_to_use)
+                parts.append(self._dir_enc(refdirs, roughness))
+            else:
+                dir_enc = self._dir_enc(
+                    viewdirs[..., None, :] if (roughness is not None
+                                               and self._ide_fn is not None)
+                    else viewdirs,
+                    roughness)
+                parts.append(_per_sample(dir_enc))
+            if c.use_n_dot_v:
+                dotprod = jnp.sum(
+                    normals_to_use * _per_sample_vec(viewdirs, bottleneck),
+                    axis=-1, keepdims=True)
+                parts.append(dotprod)
         if c.split_latent and latent is not None:
             parts.append(_per_sample(latent[..., c.latent_size // 2:]))
         h = jnp.concatenate(parts, axis=-1)
@@ -235,9 +307,33 @@ class ZipMLP(nn.Module):
 
         rgb = jax.nn.sigmoid(c.rgb_premultiplier * self.rgb_layer(h)
                              + c.rgb_bias)
+        if c.use_diffuse_color:
+            # Combine diffuse + specular and tone map (models.py:1238-1248).
+            diffuse_linear = jax.nn.sigmoid(raw_rgb_diffuse - np.log(3.0))
+            specular_linear = (tint * rgb if c.use_specular_tint
+                               else 0.5 * rgb)
+            from ..utils.image import linear_to_srgb
+            rgb = jnp.clip(linear_to_srgb(specular_linear + diffuse_linear),
+                           0.0, 1.0)
         rgb = rgb * (1 + 2 * c.rgb_padding) - c.rgb_padding
         out["rgb"] = rgb
         return out
+
+    def _finite_difference_normals(self, means, stds):
+        """Density normals by central differences over the multisample means
+        (reference models.py:1018-1034 numerical branch), normalized and
+        NaN-scrubbed."""
+        eps = self.cfg.normal_eps
+        grads = []
+        for d in range(3):
+            offs = jnp.zeros((3,)).at[d].set(eps)
+            pos, _ = self.predict_density(
+                jnp.clip(means + offs, -1e6, 1e6), stds)
+            neg, _ = self.predict_density(
+                jnp.clip(means - offs, -1e6, 1e6), stds)
+            grads.append(0.5 * (pos - neg) / eps)
+        normal = -jnp.stack(grads, axis=-1)
+        return jnp.nan_to_num(_l2_normalize(normal))
 
     def hash_levels(self) -> int:
         return self.cfg.grid.num_levels

@@ -144,6 +144,57 @@ def get_pose(time: jax.Array, tracks: jax.Array) -> jax.Array:
     return w1[..., None] * info1 + w2[..., None] * info2
 
 
+def simu_info(mode: str, tracks, angle: float = 0.0,
+              lane_shift: float = 0.03):
+    """Scene-edit simulation modes (reference obj_utils.py:554-573):
+    replay (unchanged), laneshift (+y shift), removal (no tracks),
+    rotate (+15 deg yaw applied via manipulate_tracks)."""
+    if mode == "replay":
+        return 0.0, tracks
+    if mode == "laneshift":
+        if tracks is not None:
+            tracks = tracks.at[:, :, 1].add(lane_shift) if hasattr(
+                tracks, "at") else _np_add(tracks, 1, lane_shift)
+        return 0.0, tracks
+    if mode == "removal":
+        return 0.0, None
+    if mode == "rotate":
+        return 15.0, tracks
+    raise ValueError(mode)
+
+
+def _np_add(tracks, col, delta):
+    import numpy as np
+    out = np.array(tracks)
+    out[:, :, col] += delta
+    return out
+
+
+def manipulate_tracks(tracks, angle_deg: float):
+    """Rotate all boxes by angle (reference models.py:188-191)."""
+    import numpy as np
+    delta = np.deg2rad(angle_deg)
+    if hasattr(tracks, "at"):
+        return tracks.at[:, :, 3].add(delta)
+    out = np.array(tracks)
+    out[:, :, 3] += delta
+    return out
+
+
+def edit_tracks(tracks, track_mask, classes, new_track, class_name="car_fusion"):
+    """Append an inserted track (reference obj_utils.py:582-593). Requires
+    the model's num_objects to cover the new slot."""
+    import numpy as np
+    nt = np.asarray(new_track)
+    if nt.ndim == 2:
+        nt = nt[None]
+    tracks = np.concatenate([np.asarray(tracks), nt], axis=0)
+    track_mask = np.concatenate(
+        [np.asarray(track_mask), np.ones(len(nt), bool)])
+    classes = list(classes) + [class_name] * len(nt)
+    return tracks, track_mask, classes
+
+
 def composite_objects(obj_mlp, obj_latents: Optional[jax.Array],
                       pts_w: jax.Array, viewdirs: jax.Array,
                       obj_pose: jax.Array, track_mask: Optional[jax.Array],

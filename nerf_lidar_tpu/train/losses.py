@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from ..configs import Config
 from ..ops import grid as gridlib
-from ..ops import mathx, stepfun
+from ..ops import mathx, ref_utils, stepfun
 
 
 def _masked_mean(x, mask):
@@ -150,6 +150,51 @@ def distortion_loss(ray_history, config: Config):
         last["sdist"], last["weights"]).mean()
 
 
+def orientation_loss(batch, ray_history, config: Config):
+    """Ref-NeRF orientation loss over levels (train_utils.py:184-200)."""
+    total = 0.0
+    n_levels = len(ray_history)
+    for i, rr in enumerate(ray_history):
+        n = rr.get(config.orientation_loss_target)
+        if n is None:
+            continue
+        loss = ref_utils.orientation_loss(rr["weights"], n,
+                                          batch["viewdirs"])
+        mult = (config.orientation_coarse_loss_mult if i < n_levels - 1
+                else config.orientation_loss_mult)
+        total = total + mult * loss
+    return total
+
+
+def predicted_normal_loss(ray_history, config: Config):
+    """Predicted-vs-density normal consistency (train_utils.py:224-240)."""
+    total = 0.0
+    n_levels = len(ray_history)
+    for i, rr in enumerate(ray_history):
+        if rr.get("normals") is None or rr.get("normals_pred") is None:
+            continue
+        loss = ref_utils.predicted_normal_loss(
+            rr["weights"], jax.lax.stop_gradient(rr["normals"]),
+            rr["normals_pred"])
+        mult = (config.predicted_normal_coarse_loss_mult if i < n_levels - 1
+                else config.predicted_normal_loss_mult)
+        total = total + mult * loss
+    return total
+
+
+def normal_supervision_loss(batch, renderings, config: Config):
+    """Pseudo-normal supervision: L1 + (1 - cos) on non-sky rays
+    (train.py:358-363)."""
+    if "normals" not in renderings[-1] or "normals" not in batch:
+        return jnp.asarray(0.0)
+    mask = batch["rgb_mask"] & (batch["semantic"] != 10)
+    pred = renderings[-1]["normals"]
+    pseudo = batch["normals"]
+    per_ray = (jnp.abs(pred - pseudo).sum(-1)
+               + (1 - jnp.sum(pred * pseudo, axis=-1)))
+    return 0.1 * _masked_mean(per_ray, mask)
+
+
 def hash_decay_loss(params, config: Config):
     """Per-level mean of squared hash embeddings, summed over encoders
     (train_utils.py:203-221). Uses jax.ops.segment_sum (deterministic)
@@ -250,6 +295,16 @@ def compute_losses(params, batch, renderings, ray_history,
         losses["distortion"] = distortion_loss(ray_history, config)
     if config.hash_decay_mults > 0:
         losses["hash_decay"] = hash_decay_loss(params, config)
+    if (config.orientation_loss_mult > 0
+            or config.orientation_coarse_loss_mult > 0):
+        losses["orientation"] = orientation_loss(batch, ray_history, config)
+    if (config.predicted_normal_loss_mult > 0
+            or config.predicted_normal_coarse_loss_mult > 0):
+        losses["predicted_normals"] = predicted_normal_loss(ray_history,
+                                                            config)
+    if config.normal_supervision and "normals" in batch:
+        losses["normals"] = normal_supervision_loss(batch, renderings,
+                                                    config)
     if config.model.latent_size > 0:
         losses["latent_reg"] = latent_reg(params, config)
     losses.update(smoothness_losses(batch, renderings, config,
