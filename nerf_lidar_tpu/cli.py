@@ -449,6 +449,25 @@ def cmd_render_lidar(args):
     print(f"wrote {len(paths)} sweeps to {sweep_dir}")
 
 
+def cmd_extract(args):
+    """Mesh extraction (reference extract.py)."""
+    from .models.model import Model
+    from .extract import extract_mesh
+
+    cfg = build_config(args)
+    out = exp_dir(cfg)
+    scene = load_scene_for(cfg, "train")
+    model = Model(dataclasses.replace(cfg.model, instance_obj=False))
+    params, step = _restore_model_params(cfg, model, scene.data)
+    print(f"restored step {step}")
+    path = os.path.join(out, "mesh.ply")
+    verts, faces, _ = extract_mesh(
+        model, params, resolution=args.resolution,
+        isosurface_threshold=args.threshold, out_path=path,
+        vertex_color=not args.no_color)
+    print(f"mesh: {len(verts)} verts, {len(faces)} faces -> {path}")
+
+
 def cmd_raydrop_train(args):
     from .raydrop import features as feat_lib
     from .raydrop.trainer import RayDropConfig, RayDropTrainer
@@ -542,6 +561,13 @@ def main(argv: Optional[List[str]] = None):
     sp.add_argument("--start", type=float, nargs=3)
     sp.add_argument("--end", type=float, nargs=3)
     sp.set_defaults(fn=cmd_render_lidar)
+
+    sp = sub.add_parser("extract")
+    common(sp)
+    sp.add_argument("--resolution", type=int, default=256)
+    sp.add_argument("--threshold", type=float, default=20.0)
+    sp.add_argument("--no_color", action="store_true")
+    sp.set_defaults(fn=cmd_extract)
 
     sp = sub.add_parser("raydrop_train")
     sp.add_argument("--features", required=True)

@@ -1,0 +1,90 @@
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_lidar_tpu import configs
+from nerf_lidar_tpu.models.model import Model
+from nerf_lidar_tpu.utils import marching, pc_metrics
+
+
+def test_marching_tetrahedra_sphere():
+    # Field: distance from center; isosurface at r=0.3 of a unit cube grid.
+    n = 33
+    lin = np.linspace(-0.5, 0.5, n)
+    xs, ys, zs = np.meshgrid(lin, lin, lin, indexing="ij")
+    field = -np.sqrt(xs**2 + ys**2 + zs**2)  # inside = larger value
+    level = -0.3
+    verts, faces = marching.marching_tetrahedra(
+        field, level, origin=(-0.5,) * 3, spacing=(1 / (n - 1),) * 3)
+    assert len(verts) > 100
+    r = np.linalg.norm(verts, axis=-1)
+    np.testing.assert_allclose(r, 0.3, atol=0.02)
+    # Faces index valid vertices.
+    assert faces.max() < len(verts)
+    # Welding shrinks the vertex count substantially.
+    wv, wf = marching.weld_vertices(verts, faces)
+    assert len(wv) < len(verts) * 0.6
+    r2 = np.linalg.norm(wv, axis=-1)
+    np.testing.assert_allclose(r2, 0.3, atol=0.02)
+
+
+def test_write_ply_roundtrip(tmp_path):
+    verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    faces = np.array([[0, 1, 2]])
+    colors = np.array([[1.0, 0, 0], [0, 1.0, 0], [0, 0, 1.0]])
+    p = str(tmp_path / "tri.ply")
+    marching.write_ply(p, verts, faces, colors)
+    text = open(p).read()
+    assert "element vertex 3" in text and "element face 1" in text
+    assert "255 0 0" in text
+
+
+def test_miou_perfect_and_known():
+    gt = np.array([0, 0, 1, 1, 2, 2, 255])
+    pred_perfect = gt.copy()
+    out = pc_metrics.eval_miou(pred_perfect, gt, num_classes=3)
+    assert out["miou"] == 1.0
+    pred = np.array([0, 1, 1, 1, 2, 0, 2])  # ignore_label position ignored
+    out = pc_metrics.eval_miou(pred, gt, num_classes=3)
+    # class0: tp=1 fp=1 fn=1 -> 1/3; class1: tp=2 fp=1 fn=0 -> 2/3;
+    # class2: tp=1 fp=0 fn=1 -> 1/2.
+    np.testing.assert_allclose(out["miou"], (1 / 3 + 2 / 3 + 1 / 2) / 3,
+                               rtol=1e-6)
+
+
+def test_chamfer_identity_and_offset():
+    rng = np.random.RandomState(0)
+    a = rng.randn(500, 3).astype(np.float32)
+    out = pc_metrics.chamfer_distance(a, a)
+    assert out["chamfer"] < 1e-5
+    b = a + np.array([0.1, 0.0, 0.0], np.float32)
+    out2 = pc_metrics.chamfer_distance(a, b)
+    assert out2["chamfer"] <= 0.1 + 1e-5
+    assert out2["chamfer"] > 0.01
+
+
+def test_extract_mesh_from_tiny_model():
+    from nerf_lidar_tpu.extract import extract_mesh
+    cfg = configs.tiny_debug().model
+    model = Model(cfg)
+    rng = np.random.RandomState(0)
+    d = rng.randn(8, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    batch = {k: jnp.asarray(v) for k, v in dict(
+        origins=np.zeros((8, 3), np.float32), directions=d, viewdirs=d,
+        base_x=d, base_y=d, radii=np.full((8, 1), 1e-3, np.float32),
+        near=np.full((8, 1), 0.2, np.float32),
+        far=np.full((8, 1), 6.0, np.float32)).items()}
+    params = model.init(jax.random.PRNGKey(0), None, batch)
+    # A fresh model has near-uniform small density: pick a low threshold so
+    # *some* surface exists, or accept an empty mesh — the pipeline must run
+    # either way without error.
+    verts, faces, colors = extract_mesh(
+        model, params, resolution=24, isosurface_threshold=0.4,
+        vertex_color=True)
+    assert verts.shape[1] == 3 if len(verts) else True
+    if len(verts):
+        assert colors is not None and colors.shape == (len(verts), 3)
+        assert np.isfinite(verts).all()
