@@ -215,17 +215,21 @@ def read_lidar_bin(path: str, bboxes: Optional[np.ndarray] = None,
     in the sensor frame, moving points + range-gated removed
     (lidar_utils.py:346-394)."""
     scan = np.fromfile(path, dtype=np.float32).reshape(-1, 5)
-    points = scan[:, :3]
-    intensity = scan[:, 3]
-    keep = np.ones(points.shape[0], bool)
-    if bboxes is not None:
-        flag = np.zeros(points.shape[0])
-        for box in bboxes:
-            flag += in_hull(points, box)
-        keep &= flag == 0
-    depth = np.linalg.norm(points, axis=1)
-    keep &= (depth > d_min) & (depth < d_max)
-    points, depth, intensity = points[keep], depth[keep], intensity[keep]
+    from .. import native
+    if bboxes is None and native.available():
+        points, intensity, depth = native.decode_bin(scan, d_min, d_max)
+    else:
+        points = scan[:, :3]
+        intensity = scan[:, 3]
+        keep = np.ones(points.shape[0], bool)
+        if bboxes is not None:
+            flag = np.zeros(points.shape[0])
+            for box in bboxes:
+                flag += in_hull(points, box)
+            keep &= flag == 0
+        depth = np.linalg.norm(points, axis=1)
+        keep &= (depth > d_min) & (depth < d_max)
+        points, depth, intensity = points[keep], depth[keep], intensity[keep]
     dirs = points / depth[:, None]
     return depth, dirs, intensity
 

@@ -39,12 +39,28 @@ def project_points(points: np.ndarray,
                    rgb: Optional[np.ndarray] = None,
                    h: int = DEFAULT_H, w: int = DEFAULT_W,
                    fov_up: float = FOV_UP_DEG,
-                   fov_down: float = FOV_DOWN_DEG) -> RangeImage:
+                   fov_down: float = FOV_DOWN_DEG,
+                   use_native: bool = True) -> RangeImage:
     """Depth-sorted spherical projection (lidar_utils.py:215-283).
 
     points: [N, 3] in the sensor frame. Nearest point wins each pixel
-    (points scattered in decreasing depth order).
+    (points scattered in decreasing depth order). Uses the C++ kernel
+    (native/lidar_native.cpp) when available; numpy otherwise.
     """
+    if use_native:
+        from .. import native
+        if native.available():
+            out = native.range_project(points, semantic, rgb, h, w,
+                                       fov_up, fov_down)
+            xyz = np.full((h, w, 3), -1.0, np.float32)
+            filled = out["idx"] >= 0
+            xyz[filled] = points[out["idx"][filled]]
+            sem_dtype = (semantic.dtype if semantic is not None
+                         else np.float32)
+            return RangeImage(out["range"], xyz,
+                              out["semantic"].astype(sem_dtype),
+                              out["rgb"], out["idx"], out["mask"],
+                              out["proj_x"], out["proj_y"])
     n = points.shape[0]
     fov_up_r = fov_up / 180.0 * np.pi
     fov_down_r = fov_down / 180.0 * np.pi

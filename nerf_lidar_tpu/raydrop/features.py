@@ -32,6 +32,10 @@ def depth_filter_mask(points: np.ndarray,
     """Keep points whose >threshold azimuthal neighbors (within +-width
     steps) lie within `radius` meters; semantic edges and cars exempt
     (depth_filter.py:4-26). points: [N, 3] beam-major rings."""
+    from .. import native
+    if native.available():
+        return native.depth_filter_mask(points, semantic, num_beams,
+                                        width, radius, threshold)
     pts = points.reshape(num_beams, -1, 3)
     neighbors = np.stack([np.roll(pts, i, axis=1)
                           for i in range(-width, width + 1) if i != 0],
