@@ -38,7 +38,7 @@ def main():
     mcfg = dataclasses.replace(cfg.model, instance_obj=False)
     cfg = dataclasses.replace(cfg, model=mcfg, batch_size=batch_size,
                               patch_size=1, lidar_supervision=False,
-                              pose_refine=False)
+                              pose_refine=False, track_refine=False)
 
     _, data, _ = synthetic.make_scene_data(num_views=4, height=64, width=96,
                                            focal=64.0, far=cfg.far,

@@ -1,0 +1,68 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerf_lidar_tpu.ops import render, render_pallas
+
+
+def _inputs(R=512, S=32, K=5, seed=0):
+    rng = np.random.RandomState(seed)
+    density = rng.rand(R, S).astype(np.float32) * 3
+    tdist = np.sort(rng.rand(R, S + 1).astype(np.float32) * 5, axis=-1)
+    dirs = rng.randn(R, 3).astype(np.float32)
+    rgb = rng.rand(R, S, 3).astype(np.float32)
+    sem = rng.rand(R, S, K).astype(np.float32)
+    inten = rng.rand(R, S).astype(np.float32)
+    return (jnp.asarray(density), jnp.asarray(tdist), jnp.asarray(dirs),
+            jnp.asarray(rgb), jnp.asarray(sem), jnp.asarray(inten))
+
+
+@pytest.mark.parametrize("opaque", [True, False])
+def test_fused_composite_matches_reference(opaque):
+    density, tdist, dirs, rgb, sem, inten = _inputs()
+    out = render_pallas.fused_composite(
+        density, tdist, dirs, rgb, sem, inten, opaque_background=opaque)
+
+    w_ref, _, _ = render.compute_alpha_weights(density, tdist, dirs,
+                                               opaque_background=opaque)
+    ref = render.volumetric_rendering(
+        rgb, w_ref, tdist, bg_rgbs=jnp.asarray(1.0),
+        t_far=tdist[:, -1:], compute_extras=False, semantic=sem,
+        intensity=inten, sem_detach=False)
+
+    np.testing.assert_allclose(np.asarray(out["weights"]),
+                               np.asarray(w_ref), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out["rgb"]),
+                               np.asarray(ref["rgb"]), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["depth"]),
+                               np.asarray(ref["depth"]), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["semantic"]),
+                               np.asarray(ref["semantic"]), rtol=1e-5,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["intensity"]),
+                               np.asarray(ref["intensity"]), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_fused_composite_ragged_rays():
+    # Ray count not divisible by the block: padding rays must not corrupt
+    # real outputs.
+    density, tdist, dirs, rgb, sem, inten = _inputs(R=700)
+    out = render_pallas.fused_composite(density, tdist, dirs, rgb, sem,
+                                        inten, block_rays=512)
+    w_ref, _, _ = render.compute_alpha_weights(density, tdist, dirs,
+                                               opaque_background=True)
+    np.testing.assert_allclose(np.asarray(out["weights"]),
+                               np.asarray(w_ref), rtol=1e-5, atol=1e-6)
+
+
+def test_tile_lane_gather():
+    from nerf_lidar_tpu.ops.grid_pallas import tile_lane_gather
+    rng = np.random.RandomState(0)
+    tbl = jnp.asarray(rng.rand(8, 128).astype(np.float32))
+    idx = jnp.asarray(rng.randint(0, 128, (8, 128)).astype(np.int32))
+    out = tile_lane_gather(tbl, idx)
+    want = np.take_along_axis(np.asarray(tbl), np.asarray(idx), axis=1)
+    np.testing.assert_allclose(np.asarray(out), want)
