@@ -103,6 +103,12 @@ def exp_dir(cfg: configs.Config) -> str:
 
 
 def cmd_train(args):
+    if getattr(args, "multihost", False):
+        # Multi-host: one process per host over DCN, devices over ICI
+        # (reference uses `accelerate launch`; here jax.distributed handles
+        # coordination and the mesh spans all slices).
+        import jax
+        jax.distributed.initialize()
     import jax
     import jax.numpy as jnp
     from .data.batching import RayBatcher
@@ -112,6 +118,11 @@ def cmd_train(args):
     from .utils.logging import MetricsLogger, Timer
 
     cfg = build_config(args)
+    # Decorrelate per-host sampling like the reference's seed + rank offset
+    # (train.py:61).
+    import jax as _jax
+    cfg = dataclasses.replace(
+        cfg, seed=cfg.seed + _jax.process_index())
     out = exp_dir(cfg)
     os.makedirs(out, exist_ok=True)
     with open(os.path.join(out, "config.json"), "w") as f:
@@ -449,6 +460,40 @@ def cmd_render_lidar(args):
     print(f"wrote {len(paths)} sweeps to {sweep_dir}")
 
 
+def cmd_render_instance(args):
+    """Orbit-render a single dynamic object's field
+    (reference obj_rendering / render_video render_instance)."""
+    import jax
+    from .models.model import Model
+    from .models import objects as objlib
+    from .utils import vis as vis_lib
+
+    cfg = build_config(args)
+    scene = load_scene_for(cfg, "train")
+    tracks = getattr(scene, "tracks", None)
+    if tracks is None:
+        raise SystemExit("scene has no tracks; render_instance needs "
+                         "instance_obj data")
+    mcfg = dataclasses.replace(cfg.model, instance_obj=True,
+                               num_objects=int(tracks.shape[0]))
+    model = Model(mcfg)
+    params, step = _restore_model_params(
+        dataclasses.replace(cfg, model=mcfg), model, scene.data)
+    print(f"restored step {step}")
+    frames = objlib.render_instance(
+        model, params, args.track_id, height=args.size, width=args.size,
+        num_views=args.num_views)
+    out = os.path.join(exp_dir(cfg), f"instance_{args.track_id}")
+    vis_lib.save_panels(
+        {f"view": frames[0]}, out, 0)
+    import imageio.v2 as imageio
+    os.makedirs(out, exist_ok=True)
+    for i, fr in enumerate(frames):
+        imageio.imwrite(os.path.join(out, f"view_{i:03d}.png"),
+                        (np.clip(fr, 0, 1) * 255).astype(np.uint8))
+    print(f"{len(frames)} views in {out}")
+
+
 def cmd_extract(args):
     """Mesh extraction (reference extract.py)."""
     from .models.model import Model
@@ -527,6 +572,8 @@ def main(argv: Optional[List[str]] = None):
     sp = sub.add_parser("train")
     common(sp)
     sp.add_argument("--steps", type=int, default=0)
+    sp.add_argument("--multihost", action="store_true",
+                    help="jax.distributed.initialize() for multi-host runs")
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("eval")
@@ -561,6 +608,13 @@ def main(argv: Optional[List[str]] = None):
     sp.add_argument("--start", type=float, nargs=3)
     sp.add_argument("--end", type=float, nargs=3)
     sp.set_defaults(fn=cmd_render_lidar)
+
+    sp = sub.add_parser("render_instance")
+    common(sp)
+    sp.add_argument("--track_id", type=int, default=0)
+    sp.add_argument("--size", type=int, default=128)
+    sp.add_argument("--num_views", type=int, default=8)
+    sp.set_defaults(fn=cmd_render_instance)
 
     sp = sub.add_parser("extract")
     common(sp)

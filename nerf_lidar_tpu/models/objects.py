@@ -144,6 +144,64 @@ def get_pose(time: jax.Array, tracks: jax.Array) -> jax.Array:
     return w1[..., None] * info1 + w2[..., None] * info2
 
 
+def render_instance(model, params, track_id: int, height: int = 128,
+                    width: int = 128, num_views: int = 8,
+                    num_samples: int = 64, radius: float = 2.5):
+    """Render one object's field alone, orbiting its unit box.
+
+    TPU-native analog of reference models.py:579-794 (`obj_rendering`) +
+    render_video.py's render_instance mode: rays are cast in the *object
+    frame* (the obj MLP's native coordinates), clipped to the unit box by
+    the slab test, sampled uniformly between entry/exit, and composited
+    with a white background. Returns [num_views, H, W, 3] numpy.
+    """
+    import numpy as np
+    from ..data import camera as camlib
+
+    latents = params["params"].get("obj_latents")
+    lat = latents[track_id] if latents is not None else None
+
+    def render_fn(p, origins, dirs, lat_vec):
+        t_near, t_far, hit = ray_box_intersection(origins, dirs)
+        t_near = jnp.maximum(t_near, 0.0)
+        t = jnp.linspace(0.0, 1.0, num_samples + 1)
+        tdist = t_near[:, None] + (t_far - t_near)[:, None] * t[None]
+        t_mids = 0.5 * (tdist[:, :-1] + tdist[:, 1:])
+        pts = origins[:, None, :] + t_mids[..., None] * dirs[:, None, :]
+        means = pts[..., None, :]  # n=1 multisample
+        stds = jnp.zeros(means.shape[:-1])
+        lat_b = None
+        if lat_vec is not None:
+            lat_b = jnp.broadcast_to(lat_vec, pts.shape[:2]
+                                     + lat_vec.shape)
+        out = model.apply(
+            p, means, stds, dirs, lat_b,
+            method=lambda m, mm, ss, vd, lt: m.obj_mlp(
+                mm, ss, viewdirs=vd, latent=lt))
+        from ..ops import render as render_ops
+        weights, _, _ = render_ops.compute_alpha_weights(
+            out["density"], tdist, dirs)
+        weights = weights * hit[:, None]
+        acc = weights.sum(-1)
+        rgb = (weights[..., None] * out["rgb"]).sum(-2) \
+            + (1 - acc[..., None])
+        return rgb
+
+    render_jit = jax.jit(render_fn)
+    frames = []
+    for v in range(num_views):
+        ang = 2 * np.pi * v / num_views
+        eye = np.array([radius * np.cos(ang), radius * np.sin(ang), 1.2])
+        pose = camlib.lookat_pose(eye, np.zeros(3))
+        rays = camlib.camera_rays(pose, height, width, focal=width * 0.8)
+        o = jnp.asarray(rays["origins"].reshape(-1, 3))
+        d = jnp.asarray(rays["viewdirs"].reshape(-1, 3))
+        rgb = np.asarray(render_jit(params, o, d,
+                                    lat if lat is None else jnp.asarray(lat)))
+        frames.append(rgb.reshape(height, width, 3))
+    return np.stack(frames)
+
+
 def simu_info(mode: str, tracks, angle: float = 0.0,
               lane_shift: float = 0.03):
     """Scene-edit simulation modes (reference obj_utils.py:554-573):

@@ -175,6 +175,19 @@ def test_model_with_objects_forward_and_latent_grads():
     assert sum(jax.tree.leaves(g_obj)) > 0
 
 
+def test_render_instance_orbit():
+    from nerf_lidar_tpu.models import objects as objlib
+    cfg, model, tracks, track_mask = _obj_model_setup()
+    batch = _batch_through_origin()
+    params = model.init(jax.random.PRNGKey(0), None, batch, tracks=tracks,
+                        track_mask=track_mask)
+    frames = objlib.render_instance(model, params, track_id=0, height=16,
+                                    width=16, num_views=2, num_samples=8)
+    assert frames.shape == (2, 16, 16, 3)
+    assert np.isfinite(frames).all()
+    assert frames.min() >= -0.01 and frames.max() <= 1.01
+
+
 def test_train_step_with_pose_and_track_refinement():
     cfg, model, tracks, track_mask = _obj_model_setup()
     cfg = dataclasses.replace(cfg, pose_refine=True, start_step=2,
