@@ -1,15 +1,24 @@
-"""Benchmark: training rays/sec on the flagship ZipNeRF field, one chip.
+"""Benchmark: training rays/sec on the flagship TPU field config, one chip.
 
 Prints ONE JSON line:
   {"metric": "train_rays_per_sec", "value": N, "unit": "rays/s",
    "vs_baseline": R}
 
-Baseline context: the reference publishes no numbers (BASELINE.md); its
-train throughput metric is rays/sec = batch_size x steps/sec
-(reference train.py:485,527,554). `vs_baseline` is measured against a
-reference operating point of 60k rays/s (a ZipNeRF-class PyTorch trainer at
-batch 16384 on one A100, derived from the reference's default 40k-step /
-multi-hour schedule) until a measured PyTorch baseline lands.
+Benched config: `nuscenes_single_fast` — the TPU-first field (fewer/wider
+hash levels, tetrahedral interpolation, coarse-multisample collapse; see
+configs.py). The reference-exact `nuscenes_single` config is ~9x slower on
+TPU because hash-table gathers are instruction-rate-bound (~50M indices/s
+on v5e regardless of row width); both operating points are recorded in
+BASELINE.md.
+
+Baseline context: the reference publishes no numbers; its train throughput
+metric is rays/sec = batch_size x steps/sec (reference train.py:485,527,554).
+`vs_baseline` is against a 60k rays/s reference-class-GPU operating point
+until a measured PyTorch baseline lands.
+
+Timing note: this tunneled TPU backend's block_until_ready returns before
+execution completes, so the loop is bounded by fetching the final loss
+value, which depends on the whole step chain.
 """
 
 import dataclasses
@@ -34,7 +43,7 @@ def main():
     # (train_nusc.sh:24-26); its multi-GPU batch 16384 is global across 8
     # ranks. rays/sec reported here is per chip.
     batch_size = 4096
-    cfg = configs.nuscenes_single()
+    cfg = configs.nuscenes_single_fast()
     mcfg = dataclasses.replace(cfg.model, instance_obj=False)
     cfg = dataclasses.replace(cfg, model=mcfg, batch_size=batch_size,
                               patch_size=1, lidar_supervision=False,
@@ -54,10 +63,12 @@ def main():
     # Pre-generate host batches so input pipeline is excluded from timing.
     batches = [jax.tree.map(jnp.asarray, batcher.next()) for _ in range(8)]
 
-    # Warmup/compile.
+    # Warmup/compile. NOTE: fetch the value (device_get) rather than
+    # block_until_ready — on the tunneled TPU backend block_until_ready
+    # returns before execution finishes, which silently benchmarks dispatch.
     key, sub = jax.random.split(key)
     state, stats = step_fn(state, batches[0], sub, None, None)
-    jax.block_until_ready(stats["loss"])
+    float(jax.device_get(stats["loss"]))
 
     n_steps = 30
     t0 = time.perf_counter()
@@ -65,7 +76,9 @@ def main():
         key, sub = jax.random.split(key)
         state, stats = step_fn(state, batches[i % len(batches)], sub, None,
                                None)
-    jax.block_until_ready(stats["loss"])
+    # The final loss depends on the whole step chain; fetching it bounds the
+    # wall time of all n_steps.
+    float(jax.device_get(stats["loss"]))
     dt = time.perf_counter() - t0
 
     rays_per_sec = batch_size * n_steps / dt

@@ -67,6 +67,7 @@ def _set_path(obj, parts: List[str], val: str):
 def build_config(args) -> configs.Config:
     base = {
         "nuscenes_single": configs.nuscenes_single,
+        "nuscenes_single_fast": configs.nuscenes_single_fast,
         "tiny_debug": configs.tiny_debug,
         "default": configs.Config,
     }[args.config]()
@@ -181,8 +182,33 @@ def cmd_train(args):
     timer = Timer()
     key = jax.random.PRNGKey(cfg.seed + 17)
     max_steps = args.steps or cfg.max_steps
+
+    # Prefetch: per-worker batchers (np RNG is not thread-safe) + staged
+    # device transfer overlapping the running step.
+    from .train.prefetch import BatchPrefetcher
+    import itertools
+    import threading
+    workers = [RayBatcher(data, cfg.batch_size, cfg.patch_size,
+                          lidar_supervision=cfg.lidar_supervision,
+                          lidar_batch_ratio=cfg.lidar_batch_ratio,
+                          seed=cfg.seed + 1000 + w) for w in range(2)]
+    _locks = [threading.Lock() for _ in workers]
+    _rr = itertools.count()
+
+    def make_batch():
+        w = next(_rr) % len(workers)
+        with _locks[w]:
+            return workers[w].next()
+
+    batch_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        batch_sharding = NamedSharding(mesh, P("data"))
+    prefetcher = BatchPrefetcher(make_batch, depth=3, num_workers=2,
+                                 sharding=batch_sharding)
+
     for step in range(init_step, max_steps):
-        batch = jax.tree.map(jnp.asarray, batcher.next())
+        batch = prefetcher.next()
         key, sub = jax.random.split(key)
         state, stats = step_fn(state, batch, sub, tracks, track_mask)
         timer.tick(batcher.total_rays)
@@ -200,6 +226,7 @@ def cmd_train(args):
         if (step + 1) % cfg.checkpoint_every == 0 or step + 1 == max_steps:
             checkpoints.save_checkpoint(out, state, step + 1,
                                         keep=cfg.checkpoint_keep)
+    prefetcher.close()
     print(f"done: {out}")
 
 
@@ -229,9 +256,11 @@ def cmd_eval(args):
         "model" in state.params else state.params
     print(f"restored step {step}")
 
+    import time as timelib
     renderer = ChunkRenderer(model, cfg, cfg.render_chunk_size)
     harness = MetricHarness()
     metrics = []
+    render_times = []
     n_views = min(data.num_views, args.max_views or data.num_views)
     os.makedirs(os.path.join(out, "eval"), exist_ok=True)
     for i in range(n_views):
@@ -243,7 +272,9 @@ def cmd_eval(args):
                                np.float32)
         rays["far"] = np.full((data.height, data.width, 1), data.far,
                               np.float32)
+        t0 = timelib.perf_counter()
         img = render_view(renderer, params, rays)
+        render_times.append(timelib.perf_counter() - t0)
         gt = data.images[i]
         m = harness(jnp.asarray(img["rgb"]), jnp.asarray(gt))
         cc = np.asarray(color_correct(jnp.asarray(img["rgb"]),
@@ -251,13 +282,19 @@ def cmd_eval(args):
         m.update(harness(jnp.asarray(cc), jnp.asarray(gt), "_cc"))
         metrics.append(m)
         print(f"view {i}: " + " ".join(f"{k}={v:.3f}"
-                                       for k, v in m.items()))
+                                       for k, v in m.items())
+              + f" ({render_times[-1]:.1f}s)")
         np.save(os.path.join(out, "eval", f"rgb_{i:03d}.npy"), img["rgb"])
     avg = {k: float(np.mean([m[k] for m in metrics])) for k in metrics[0]}
+    avg["median_render_time_s"] = float(np.median(render_times))
     print("mean:", avg)
     import json
     with open(os.path.join(out, "eval", "metrics.json"), "w") as f:
         json.dump(avg, f, indent=2)
+    # Per-view render-time dump (reference eval.py:220-221).
+    with open(os.path.join(out, "eval", f"render_times_{step}.txt"),
+              "w") as f:
+        f.write("\n".join(f"{t:.4f}" for t in render_times))
 
 
 def _probe_batch(data, n: int = 8):
@@ -563,7 +600,8 @@ def main(argv: Optional[List[str]] = None):
 
     def common(sp):
         sp.add_argument("--config", default="nuscenes_single",
-                        choices=["nuscenes_single", "tiny_debug", "default"])
+                        choices=["nuscenes_single", "nuscenes_single_fast",
+                                 "tiny_debug", "default"])
         sp.add_argument("--data_dir", default=None)
         sp.add_argument("--exp_name", default=None)
         sp.add_argument("--set", action="append", default=[],

@@ -27,6 +27,7 @@ class GridConfig:
     desired_resolution: int = 8192
     log2_hashmap_size: int = 21
     level_interval: int = 2  # resolution multiplier between levels
+    interp: str = "linear"  # 'linear' (8-corner) | 'tetra' (4-corner)
 
     @property
     def num_levels(self) -> int:
@@ -74,6 +75,9 @@ class MLPConfig:
     no_sem_layer: bool = True  # if False, use a separate 64-wide sem head
     density_init: bool = False  # +0.1 bias init on density output
     re_weights: bool = True  # erf multisample downweighting
+    # TPU gather optimization: levels with resolution <= cutoff encode the
+    # multisample mean point (exact when the cloud fits one cell). 0 = off.
+    ms_coarse_res_cutoff: int = 0
     fixed_semantic: bool = False  # emit a constant one-hot class
     class_type: int = 255
     obj_mode: bool = False  # 32-wide density trunk for obj MLPs
@@ -233,6 +237,32 @@ def nuscenes_single() -> Config:
         track_refine=True, track_start_opt=5000, latent_reg=0.01,
         learn_R=True, learn_t=False,
     )
+
+
+def nuscenes_single_fast() -> Config:
+    """TPU-throughput variant of nuscenes_single.
+
+    Gather instructions are the v5e bottleneck (~50M indices/s regardless of
+    row width), so this repacks capacity into fewer, wider hash levels
+    (4 x C16 instead of 10 x C4 for the NeRF field; the prop pyramids
+    likewise) and collapses coarse-level multisamples to their mean point
+    (exact within a cell). Same heads, losses, and training recipe.
+    """
+    base = nuscenes_single()
+    nerf_grid = GridConfig(level_dim=16, base_resolution=16,
+                           desired_resolution=8192, log2_hashmap_size=19,
+                           level_interval=8, interp="tetra")
+    prop_grid = GridConfig(level_dim=4, base_resolution=16,
+                           desired_resolution=512, log2_hashmap_size=17,
+                           level_interval=6, interp="tetra")
+    model = dataclasses.replace(
+        base.model,
+        nerf_mlp=dataclasses.replace(base.model.nerf_mlp, grid=nerf_grid,
+                                     ms_coarse_res_cutoff=1024),
+        prop_mlp=dataclasses.replace(base.model.prop_mlp, grid=prop_grid,
+                                     ms_coarse_res_cutoff=1024),
+    )
+    return dataclasses.replace(base, model=model)
 
 
 def tiny_debug() -> Config:

@@ -52,7 +52,8 @@ class ZipMLP(nn.Module):
             level_dim=c.grid.level_dim,
             base_resolution=c.grid.base_resolution,
             desired_resolution=c.grid.desired_resolution,
-            log2_hashmap_size=c.grid.log2_hashmap_size)
+            log2_hashmap_size=c.grid.log2_hashmap_size,
+            interp=c.grid.interp)
         self.table = self.param(
             "table",
             lambda key: self.spec.init_table(key, std=1e-4))
@@ -140,7 +141,8 @@ class ZipMLP(nn.Module):
         x01 = (means + 1.0) / 2.0
         if c.re_weights:
             feats, weights = gridlib.hash_encode_multisample(
-                self.table, x01, stds, self.spec, self._grid_sizes)
+                self.table, x01, stds, self.spec, self._grid_sizes,
+                coarse_res_cutoff=c.ms_coarse_res_cutoff)
         else:
             # No erf downweighting (obj MLPs, reference models.py:978-979):
             # plain mean over the multisample axis.

@@ -36,13 +36,22 @@ _PRIMES = (1, 2654435761, 805459861)
 @dataclasses.dataclass(frozen=True)
 class HashGridSpec:
     """Static description of a multiresolution hash grid (hashable, so it can
-    be closed over by jit)."""
+    be closed over by jit).
+
+    interp: 'linear' = trilinear over 8 cube corners (reference semantics,
+    gridencoder.cu:163-191); 'tetra' = barycentric over the 4 vertices of
+    the simplex containing the point (Kuhn triangulation of the cube).
+    Gather instructions are the TPU bottleneck (~50M indices/s), so 'tetra'
+    halves encode cost; it is continuous and agrees with trilinear at cell
+    vertices (PermutoSDF-style simplex interpolation).
+    """
     num_levels: int = 10
     level_dim: int = 4
     base_resolution: int = 16
     desired_resolution: int = 8192
     log2_hashmap_size: int = 21
     input_dim: int = 3
+    interp: str = "linear"
 
     @property
     def per_level_scale(self) -> float:
@@ -137,7 +146,7 @@ def _corner_index(spec: HashGridSpec, level: int, cx, cy, cz) -> jax.Array:
 
 
 def _encode_levels(table: jax.Array, xT: jax.Array, oob: jax.Array,
-                   spec: HashGridSpec):
+                   spec: HashGridSpec, levels=None):
     """Core encode in coordinate-major layout.
 
     TPU layout note: all large intermediates here are [N]-trailing ([3, N],
@@ -145,11 +154,12 @@ def _encode_levels(table: jax.Array, xT: jax.Array, oob: jax.Array,
     pays the 16-42x lane-padding tax that [N, 8]/[N, 3]-shaped buffers incur
     (the naive corner-last formulation OOMed a v5e chip at batch 4096).
 
-    xT: [3, N] positions in [0, 1]; oob: [N] bool.
+    xT: [3, N] positions in [0, 1]; oob: [N] bool; levels: subset of level
+    ids to encode (default all).
     Returns list of per-level features, each [C, N].
     """
     outs = []
-    for l in range(spec.num_levels):
+    for l in (range(spec.num_levels) if levels is None else levels):
         scale = spec.scales[l]
         pos = xT * scale + 0.5  # [3, N]
         pos_grid = jnp.floor(pos)
@@ -157,20 +167,61 @@ def _encode_levels(table: jax.Array, xT: jax.Array, oob: jax.Array,
         pos_grid = pos_grid.astype(jnp.int32)
         tbl_t = jax.lax.slice_in_dim(
             table, spec.offsets[l], spec.offsets[l + 1]).T  # [C, rows]
-        acc = None
-        for cx, cy, cz in _CORNERS3:
-            w = ((frac[0] if cx else 1.0 - frac[0])
-                 * (frac[1] if cy else 1.0 - frac[1])
-                 * (frac[2] if cz else 1.0 - frac[2]))  # [N]
-            idx = _corner_index(spec, l,
-                                pos_grid[0] + cx,
-                                pos_grid[1] + cy,
-                                pos_grid[2] + cz)  # [N]
-            feats = jnp.take(tbl_t, idx, axis=1)  # [C, N]
-            term = w[None, :] * feats
-            acc = term if acc is None else acc + term
+        if spec.interp == "tetra":
+            acc = _tetra_accumulate(spec, l, tbl_t, pos_grid, frac)
+        else:
+            acc = None
+            for cx, cy, cz in _CORNERS3:
+                w = ((frac[0] if cx else 1.0 - frac[0])
+                     * (frac[1] if cy else 1.0 - frac[1])
+                     * (frac[2] if cz else 1.0 - frac[2]))  # [N]
+                idx = _corner_index(spec, l,
+                                    pos_grid[0] + cx,
+                                    pos_grid[1] + cy,
+                                    pos_grid[2] + cz)  # [N]
+                feats = jnp.take(tbl_t, idx, axis=1)  # [C, N]
+                term = w[None, :] * feats
+                acc = term if acc is None else acc + term
         outs.append(jnp.where(oob[None, :], 0.0, acc))
     return outs
+
+
+def _tetra_accumulate(spec: HashGridSpec, level: int, tbl_t: jax.Array,
+                      pos_grid: jax.Array, frac: jax.Array) -> jax.Array:
+    """Barycentric interpolation over the Kuhn simplex containing the point.
+
+    The unit cube splits into 6 tetrahedra by the ordering of the fractional
+    coordinates; the containing simplex has vertices v_k = floor(p) + sum of
+    the unit steps along the k largest fractions, with barycentric weights
+    given by consecutive gaps of the sorted fractions. 4 gathers per point
+    instead of 8; continuous everywhere and equal to trilinear at vertices.
+    pos_grid/frac: [3, N]. Returns [C, N].
+    """
+    fx, fy, fz = frac[0], frac[1], frac[2]
+    # Rank of each dim (0 = largest fraction), deterministic tie-break by
+    # dimension order.
+    rx = ((fy > fx).astype(jnp.int32) + (fz > fx).astype(jnp.int32))
+    ry = ((fx >= fy).astype(jnp.int32) + (fz > fy).astype(jnp.int32))
+    rz = ((fx >= fz).astype(jnp.int32) + (fy >= fz).astype(jnp.int32))
+    ranks = jnp.stack([rx, ry, rz])  # [3, N]
+
+    # Sorted fractions s1 >= s2 >= s3 via min/max (3 elements).
+    s1 = jnp.maximum(jnp.maximum(fx, fy), fz)
+    s3 = jnp.minimum(jnp.minimum(fx, fy), fz)
+    s2 = fx + fy + fz - s1 - s3
+    weights = [1.0 - s1, s1 - s2, s2 - s3, s3]  # w_k for k = 0..3
+
+    acc = None
+    for k in range(4):
+        step = (ranks < k).astype(jnp.int32)  # [3, N]
+        idx = _corner_index(spec, level,
+                            pos_grid[0] + step[0],
+                            pos_grid[1] + step[1],
+                            pos_grid[2] + step[2])
+        feats = jnp.take(tbl_t, idx, axis=1)  # [C, N]
+        term = weights[k][None, :] * feats
+        acc = term if acc is None else acc + term
+    return acc
 
 
 def hash_encode(table: jax.Array, x01: jax.Array,
@@ -196,7 +247,8 @@ def hash_encode(table: jax.Array, x01: jax.Array,
 
 def hash_encode_multisample(table: jax.Array, x01: jax.Array, stds: jax.Array,
                             spec: HashGridSpec,
-                            grid_sizes: jax.Array) -> jax.Array:
+                            grid_sizes: jax.Array,
+                            coarse_res_cutoff: int = 0) -> jax.Array:
     """Encode n multisample points and reduce with erf downweighting.
 
     x01: [..., n, 3] in [0,1]; stds: [..., n] isotropic Gaussian stds in the
@@ -204,6 +256,16 @@ def hash_encode_multisample(table: jax.Array, x01: jax.Array, stds: jax.Array,
     weights = erf(1 / sqrt(8 * std^2 * g_l^2)) and the mean over the n
     multisamples (reference models.py:974-977), fused in coordinate-major
     layout: the [.., n, L*C] intermediate never materializes lane-padded.
+
+    coarse_res_cutoff (TPU-first optimization): levels whose resolution is
+    <= the cutoff encode only the multisample *mean* point (1 gather set per
+    frustum instead of n). Within a grid cell trilinear interpolation is
+    affine, so mean-of-encodings == encoding-of-mean exactly whenever the
+    multisample cloud fits one coarse cell — the regime these levels are in
+    by construction. Gather instructions are the TPU bottleneck
+    (~50M indices/s regardless of row width, measured on v5e), so this
+    trades an O(spread/cell) approximation at coarse levels for an n-fold
+    gather reduction there. 0 disables (reference-exact).
 
     Returns ([..., L*C] features, [..., n, L] weights).
     """
@@ -213,17 +275,37 @@ def hash_encode_multisample(table: jax.Array, x01: jax.Array, stds: jax.Array,
     oob = jnp.any((xT < 0.0) | (xT > 1.0), axis=0)
     stds_flat = stds.reshape(-1)  # [B*n]
 
-    per_level = _encode_levels(table, xT, oob, spec)  # L x [C, B*n]
+    coarse = [l for l in range(spec.num_levels)
+              if spec.resolutions[l] <= coarse_res_cutoff]
+    fine = [l for l in range(spec.num_levels) if l not in coarse]
+
+    feats_by_level: dict = {}
+    if fine:
+        fine_feats = _encode_levels(table, xT, oob, spec, levels=fine)
+        feats_by_level.update(zip(fine, fine_feats))
+    if coarse:
+        x_mean = x01.reshape(-1, n_ms, spec.input_dim).mean(
+            axis=1).T  # [3, B]
+        oob_mean = jnp.any((x_mean < 0.0) | (x_mean > 1.0), axis=0)
+        coarse_feats = _encode_levels(table, x_mean, oob_mean, spec,
+                                      levels=coarse)
+        feats_by_level.update(zip(coarse, coarse_feats))
+
     outs = []
     weights = []
-    for l, feats in enumerate(per_level):
+    for l in range(spec.num_levels):
         w_l = jax.lax.erf(
             1.0 / jnp.sqrt(jnp.maximum(
                 8.0 * stds_flat**2 * grid_sizes[l] ** 2, 1e-10)))  # [B*n]
         weights.append(w_l)
-        weighted = (feats * w_l[None, :]).reshape(
-            spec.level_dim, -1, n_ms)  # [C, B, n]
-        outs.append(weighted.mean(axis=-1))  # [C, B]
+        feats = feats_by_level[l]
+        if l in coarse:
+            w_mean = w_l.reshape(-1, n_ms).mean(axis=-1)  # [B]
+            outs.append(feats * w_mean[None, :])  # [C, B]
+        else:
+            weighted = (feats * w_l[None, :]).reshape(
+                spec.level_dim, -1, n_ms)  # [C, B, n]
+            outs.append(weighted.mean(axis=-1))  # [C, B]
     out = jnp.concatenate(outs, axis=0)  # [L*C, B]
     out = out.T.reshape(batch_shape + (spec.output_dim,))
     w = jnp.stack(weights, axis=-1).reshape(

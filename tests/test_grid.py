@@ -132,6 +132,100 @@ def test_multisample_erf_downweighting():
     assert np.max(np.abs(np.asarray(f_large))) < np.max(np.abs(np.asarray(f_small)))
 
 
+def test_tetra_interp_reproduces_linear_functions():
+    # Fill a small tiled level with a linear function of grid coords; both
+    # trilinear and barycenter (tetra) interpolation must reproduce it
+    # exactly everywhere inside the grid.
+    spec_lin = grid.HashGridSpec(num_levels=1, level_dim=2,
+                                 base_resolution=4, desired_resolution=4,
+                                 log2_hashmap_size=10, interp="linear")
+    spec_tet = dataclasses_replace(spec_lin, interp="tetra")
+    r = spec_lin.resolutions[0]
+    # Table rows are tiled: idx = x + y*r + z*r^2.
+    coords = np.stack(np.meshgrid(np.arange(r), np.arange(r), np.arange(r),
+                                  indexing="ij"), -1).reshape(-1, 3)
+    # tiled index for (x,y,z) = x + y*r + z*r*r -> build accordingly
+    table = np.zeros((spec_lin.total_rows, 2), np.float32)
+    for x_, y_, z_ in coords:
+        idx = x_ + y_ * r + z_ * r * r
+        table[idx] = [0.3 * x_ - 0.2 * y_ + 0.5 * z_, 1.0 + 0.1 * y_]
+    table = jnp.asarray(table)
+
+    rng = np.random.RandomState(0)
+    pts = rng.rand(64, 3).astype(np.float32) * 0.9 + 0.05
+    out_lin = np.asarray(grid.hash_encode(table, jnp.asarray(pts), spec_lin))
+    out_tet = np.asarray(grid.hash_encode(table, jnp.asarray(pts), spec_tet))
+    # Analytic expectation: value at continuous position p*scale + 0.5.
+    scale = spec_lin.scales[0]
+    cont = pts * scale + 0.5
+    want = np.stack([0.3 * cont[:, 0] - 0.2 * cont[:, 1] + 0.5 * cont[:, 2],
+                     1.0 + 0.1 * cont[:, 1]], -1)
+    np.testing.assert_allclose(out_lin, want, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(out_tet, want, rtol=1e-4, atol=1e-5)
+
+
+def test_tetra_interp_continuous_and_matches_at_vertices():
+    spec = grid.HashGridSpec(num_levels=3, level_dim=2, base_resolution=4,
+                             desired_resolution=16, log2_hashmap_size=8,
+                             interp="tetra")
+    table = spec.init_table(jax.random.PRNGKey(0), std=1.0)
+    # Continuity across random nearby pairs.
+    rng = np.random.RandomState(1)
+    a = rng.rand(128, 3).astype(np.float32) * 0.9 + 0.05
+    b = a + rng.randn(128, 3).astype(np.float32) * 1e-5
+    fa = np.asarray(grid.hash_encode(table, jnp.asarray(a), spec))
+    fb = np.asarray(grid.hash_encode(table, jnp.asarray(b), spec))
+    assert np.abs(fa - fb).max() < 1e-2
+
+
+def dataclasses_replace(obj, **kw):
+    import dataclasses
+    return dataclasses.replace(obj, **kw)
+
+
+def test_multisample_coarse_cutoff_matches_when_cloud_in_cell():
+    # Multisample points clustered well inside one coarse cell: mean-encode
+    # must equal full encode exactly (trilinear is affine within a cell).
+    spec = _small_spec()
+    table = spec.init_table(jax.random.PRNGKey(0), std=1.0)
+    gs = jnp.asarray(spec.grid_sizes())
+    rng = np.random.RandomState(0)
+    base = rng.rand(16, 1, 3).astype(np.float32) * 0.9 + 0.05
+    # Spread 1e-4 << coarsest cell (res 5 -> cell 0.2).
+    x = jnp.asarray(base + rng.randn(16, 7, 3).astype(np.float32) * 1e-4)
+    stds = jnp.full((16, 7), 1e-5)
+    full, _ = grid.hash_encode_multisample(table, x, stds, spec, gs,
+                                           coarse_res_cutoff=0)
+    fast, _ = grid.hash_encode_multisample(table, x, stds, spec, gs,
+                                           coarse_res_cutoff=5)
+    # Level 0 (res 5) uses mean-encode in `fast`; the cloud sits in one cell
+    # so the first level_dim features must agree to float precision.
+    np.testing.assert_allclose(np.asarray(fast[:, :spec.level_dim]),
+                               np.asarray(full[:, :spec.level_dim]),
+                               rtol=1e-4, atol=1e-5)
+    # Finer levels are identical code paths.
+    np.testing.assert_allclose(np.asarray(fast[:, spec.level_dim:]),
+                               np.asarray(full[:, spec.level_dim:]),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_multisample_cutoff_all_levels_still_close():
+    # With a cutoff covering every level and a realistic small spread, the
+    # approximation stays close to the exact encode.
+    spec = _small_spec()
+    table = spec.init_table(jax.random.PRNGKey(1), std=1.0)
+    gs = jnp.asarray(spec.grid_sizes())
+    rng = np.random.RandomState(1)
+    base = rng.rand(32, 1, 3).astype(np.float32) * 0.9 + 0.05
+    x = jnp.asarray(base + rng.randn(32, 7, 3).astype(np.float32) * 2e-3)
+    stds = jnp.full((32, 7), 2e-3)
+    full, _ = grid.hash_encode_multisample(table, x, stds, spec, gs, 0)
+    fast, _ = grid.hash_encode_multisample(table, x, stds, spec, gs, 10**9)
+    err = np.abs(np.asarray(fast) - np.asarray(full))
+    scale = np.abs(np.asarray(full)).mean() + 1e-6
+    assert err.mean() / scale < 0.05, (err.mean(), scale)
+
+
 def test_nerf_scale_spec_matches_reference_levels():
     # NerfMLP defaults: base 16 -> 8192, interval 2 => 10 levels
     # (reference models.py:867).
