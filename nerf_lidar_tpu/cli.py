@@ -83,15 +83,16 @@ def load_scene_for(cfg: configs.Config, split: str = "train"):
     """Dataset registry: {synthetic, nusc} (reference datasets.py:50-61 keeps
     a loader registry; only the nuScenes path is first-class here)."""
     if cfg.dataset_loader == "synthetic" or cfg.data_dir is None:
+        import types
+
         from .data import synthetic
-        _, data, _ = synthetic.make_scene_data(far=min(cfg.far, 12.0))
-        class _S:  # minimal scene wrapper
-            pass
-        s = _S()
-        s.data, s.tracks, s.track_mask, s.frame = data, None, None, None
         from .lidar.transforms import SceneFrame
-        s.frame = SceneFrame.identity()
-        return s
+        _, data, _ = synthetic.make_scene_data(far=min(cfg.far, 12.0))
+        return types.SimpleNamespace(
+            data=data, tracks=None, track_mask=None, track_classes=[],
+            lidar=None, frame=SceneFrame.identity())
+    # 'nusc' and 'waymo' share the poses_bounds scene-dir format
+    # (reference load_nuscenes.load_waymo_meta).
     from .data import nuscenes
     return nuscenes.load_scene(
         cfg.data_dir, split=split, factor=max(cfg.factor, 1),
@@ -121,9 +122,7 @@ def cmd_train(args):
     cfg = build_config(args)
     # Decorrelate per-host sampling like the reference's seed + rank offset
     # (train.py:61).
-    import jax as _jax
-    cfg = dataclasses.replace(
-        cfg, seed=cfg.seed + _jax.process_index())
+    cfg = dataclasses.replace(cfg, seed=cfg.seed + jax.process_index())
     out = exp_dir(cfg)
     os.makedirs(out, exist_ok=True)
     with open(os.path.join(out, "config.json"), "w") as f:

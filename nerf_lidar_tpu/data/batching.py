@@ -96,11 +96,7 @@ class RayBatcher:
         else:
             self.num_patches = 0
         self.num_patch_rays = self.num_patches * self.patch_size**2
-        self.num_pixel_rays = batch_size - (
-            self.num_patch_rays if self.patch_size > 1 else 0)
-        # Keep pixel count such that total camera rays == batch_size.
-        if self.patch_size > 1:
-            self.num_pixel_rays = batch_size - self.num_patch_rays
+        self.num_pixel_rays = batch_size - self.num_patch_rays
         self.total_rays = batch_size + self.lidar_batch
 
     def _sample_pixels(self, num: int, patch_size: int):
