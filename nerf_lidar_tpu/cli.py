@@ -142,12 +142,10 @@ def cmd_train(args):
         mcfg = dataclasses.replace(mcfg, instance_obj=False)
         cfg = dataclasses.replace(cfg, model=mcfg)
 
-    devices = jax.devices()
-    mesh = None
-    if len(devices) > 1:
-        from jax.sharding import Mesh
-        mesh = Mesh(np.asarray(devices), ("data",))
-        print(f"data-parallel over {len(devices)} devices")
+    from .parallel import maybe_data_mesh
+    mesh = maybe_data_mesh()
+    if mesh is not None:
+        print(f"data-parallel over {mesh.size} devices")
 
     batcher = RayBatcher(data, cfg.batch_size, cfg.patch_size,
                          lidar_supervision=cfg.lidar_supervision,
@@ -199,12 +197,10 @@ def cmd_train(args):
         with _locks[w]:
             return workers[w].next()
 
-    batch_sharding = None
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        batch_sharding = NamedSharding(mesh, P("data"))
+    from .parallel import batch_sharding as make_batch_sharding
+    sharding = make_batch_sharding(mesh) if mesh is not None else None
     prefetcher = BatchPrefetcher(make_batch, depth=3, num_workers=2,
-                                 sharding=batch_sharding)
+                                 sharding=sharding)
 
     for step in range(init_step, max_steps):
         batch = prefetcher.next()
