@@ -28,6 +28,10 @@ class GridConfig:
     log2_hashmap_size: int = 21
     level_interval: int = 2  # resolution multiplier between levels
     interp: str = "linear"  # 'linear' (8-corner) | 'tetra' (4-corner)
+    # False = custom-VJP encode: backward is a recomputed-index scatter-add
+    # only, and positions/stds get ZERO gradients (requires pose_refine off;
+    # see ops/grid.py). True = reference-exact autodiff.
+    diff_inputs: bool = True
 
     @property
     def num_levels(self) -> int:
@@ -156,6 +160,11 @@ class Config:
     patch_size: int = 32
     lidar_supervision: bool = False
     lidar_batch_ratio: int = 4
+    # Road-ray augmentation (reference configs.py aug_road +
+    # datasets.py:536-564 `_augment`): append pixel_rays // 4 extra rays
+    # that re-view road-surface hit points from perturbed origins.
+    aug_road: bool = False
+    aug_delta: float = 0.1
     factor: int = 1
 
     near: float = 0.1
@@ -224,6 +233,36 @@ class Config:
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2, default=str)
 
+    def validate(self) -> None:
+        """Reject silently-wrong knob combinations.
+
+        diff_inputs=False makes the encode's backward a scatter-only custom
+        VJP with ZERO gradients to positions/stds, which is only sound when
+        nothing upstream of the encode is trainable: pose refinement rotates
+        ray origins/dirs (reference train.py:199-243) and autograd density
+        normals differentiate density w.r.t. positions (models.py:1075-1094).
+        """
+        mlps = {"nerf_mlp": self.model.nerf_mlp, "prop_mlp": self.model.prop_mlp}
+        for name, m in mlps.items():
+            if m.grid.diff_inputs:
+                continue
+            if self.pose_refine:
+                raise ValueError(
+                    f"{name}.grid.diff_inputs=False requires pose_refine "
+                    "off: pose deltas need position gradients through the "
+                    "hash encode.")
+            if not m.disable_density_normals:
+                raise ValueError(
+                    f"{name}.grid.diff_inputs=False requires "
+                    "disable_density_normals: autograd normals need "
+                    "position gradients through the hash encode.")
+        if not self.model.obj_mlp.grid.diff_inputs and (
+                self.track_refine or self.pose_refine):
+            raise ValueError(
+                "obj_mlp.grid.diff_inputs=False requires track_refine and "
+                "pose_refine off: track deltas move object-frame sample "
+                "positions through the encode.")
+
 
 def nuscenes_single() -> Config:
     """Analog of configs/nuscenes_single.gin."""
@@ -242,25 +281,38 @@ def nuscenes_single() -> Config:
 def nuscenes_single_fast() -> Config:
     """TPU-throughput variant of nuscenes_single.
 
-    Gather instructions are the v5e bottleneck (~50M indices/s regardless of
-    row width), so this repacks capacity into fewer, wider hash levels
-    (4 x C16 instead of 10 x C4 for the NeRF field; the prop pyramids
-    likewise) and collapses coarse-level multisamples to their mean point
-    (exact within a cell). Same heads, losses, and training recipe.
+    Measured v5e levers (experiments/gather_bench*.py): table gathers run
+    ~182M idx/s at <= 2^17 rows but fall off a cliff to ~45M above (the
+    cliff is row-count-, not byte-, indexed: 2^17 x C64 at 32 MB still runs
+    fast), and scatter-add (the backward) runs ~55M idx/s at <= 2^17 vs
+    15.6M at 2^19 — both independent of row width up to C=128. So this
+    config (a) caps every table at 2^17 rows and repacks capacity into
+    channel width (4 x C16 NeRF levels instead of 10 x C4), (b) uses tetra
+    (4-corner) interpolation, (c) collapses coarse-level multisamples to
+    their mean point (exact within a cell), and (d) switches the encode to
+    the custom-VJP scatter-only backward (diff_inputs=False: no gather
+    replay, no saved multisample intermediates — valid because pose_refine
+    is off and density normals are finite-difference-free here). Same
+    heads, losses, and training recipe as nuscenes_single.
     """
     base = nuscenes_single()
     nerf_grid = GridConfig(level_dim=16, base_resolution=16,
-                           desired_resolution=8192, log2_hashmap_size=19,
-                           level_interval=8, interp="tetra")
+                           desired_resolution=8192, log2_hashmap_size=17,
+                           level_interval=8, interp="tetra",
+                           diff_inputs=False)
     prop_grid = GridConfig(level_dim=4, base_resolution=16,
                            desired_resolution=512, log2_hashmap_size=17,
-                           level_interval=6, interp="tetra")
+                           level_interval=6, interp="tetra",
+                           diff_inputs=False)
+    obj_grid = dataclasses.replace(base.model.obj_mlp.grid,
+                                   log2_hashmap_size=17)
     model = dataclasses.replace(
         base.model,
         nerf_mlp=dataclasses.replace(base.model.nerf_mlp, grid=nerf_grid,
                                      ms_coarse_res_cutoff=1024),
         prop_mlp=dataclasses.replace(base.model.prop_mlp, grid=prop_grid,
                                      ms_coarse_res_cutoff=1024),
+        obj_mlp=dataclasses.replace(base.model.obj_mlp, grid=obj_grid),
     )
     return dataclasses.replace(base, model=model)
 

@@ -53,7 +53,8 @@ class ZipMLP(nn.Module):
             base_resolution=c.grid.base_resolution,
             desired_resolution=c.grid.desired_resolution,
             log2_hashmap_size=c.grid.log2_hashmap_size,
-            interp=c.grid.interp)
+            interp=c.grid.interp,
+            diff_inputs=c.grid.diff_inputs)
         self.table = self.param(
             "table",
             lambda key: self.spec.init_table(key, std=1e-4))

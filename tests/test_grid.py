@@ -237,3 +237,42 @@ def test_nerf_scale_spec_matches_reference_levels():
     assert spec.resolutions[-1] == 8193
     assert spec.rows_per_level[-1] == 2**21
     assert spec.is_tiled(0) and not spec.is_tiled(9)
+
+
+@pytest.mark.parametrize("interp", ["linear", "tetra"])
+@pytest.mark.parametrize("cutoff", [0, 5])
+def test_nodiff_table_grad_matches_autodiff(interp, cutoff):
+    # The custom-VJP scatter-only backward (diff_inputs=False) must produce
+    # the exact same table gradient as plain autodiff through the encode.
+    spec = dataclasses_replace(_small_spec(), interp=interp)
+    spec_nd = dataclasses_replace(spec, diff_inputs=False)
+    table = spec.init_table(jax.random.PRNGKey(0), std=1.0)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(16, 7, 3).astype(np.float32) * 1.1 - 0.05)
+    stds = jnp.asarray(rng.rand(16, 7).astype(np.float32) * 0.02)
+    proj = jnp.asarray(rng.randn(spec.output_dim).astype(np.float32))
+
+    def loss(tbl, sp):
+        feats, w = grid.hash_encode_multisample(
+            tbl, x, stds, sp, coarse_res_cutoff=cutoff)
+        return jnp.sum((feats @ proj) ** 2) + 0.0 * jnp.sum(w)
+
+    g_ref = np.asarray(jax.grad(lambda t: loss(t, spec))(table))
+    g_fast = np.asarray(jax.grad(lambda t: loss(t, spec_nd))(table))
+    np.testing.assert_allclose(g_fast, g_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_nodiff_zero_input_grads():
+    spec = dataclasses_replace(_small_spec(), diff_inputs=False)
+    table = spec.init_table(jax.random.PRNGKey(0), std=1.0)
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.rand(8, 7, 3).astype(np.float32))
+    stds = jnp.asarray(rng.rand(8, 7).astype(np.float32) * 0.02)
+
+    def loss(x_, s_):
+        feats, _ = grid.hash_encode_multisample(table, x_, s_, spec)
+        return jnp.sum(feats ** 2)
+
+    gx, gs = jax.grad(loss, argnums=(0, 1))(x, stds)
+    assert np.abs(np.asarray(gx)).max() == 0.0
+    assert np.abs(np.asarray(gs)).max() == 0.0
