@@ -125,6 +125,11 @@ class ModelConfig:
     remat: bool = True
     latent_size: int = 0
     symmetrize: bool = False
+    # Per-class obj MLPs (reference models.py:93-174 registers one
+    # `obj_mlp_{class_id}` per object class + per-track latents): slot k of
+    # the padded track tensor uses the MLP of class obj_class_ids[k].
+    # Empty tuple = one shared obj MLP for all slots.
+    obj_class_ids: Tuple[int, ...] = ()
     # MLP blocks (gin alias analog).
     nerf_mlp: MLPConfig = MLPConfig(
         use_semantic=True, no_sem_layer=False, disable_density_normals=True)
@@ -166,6 +171,10 @@ class Config:
     aug_road: bool = False
     aug_delta: float = 0.1
     factor: int = 1
+    # Cameras per frame in the scene dir: 1 (front only) or 6 (full ring,
+    # reference configs.py:167 + configs/nuscenes_multi.gin).
+    sensor_num: int = 6
+    semantic_dilate: bool = True
 
     near: float = 0.1
     far: float = 10.0
@@ -265,10 +274,10 @@ class Config:
 
 
 def nuscenes_single() -> Config:
-    """Analog of configs/nuscenes_single.gin."""
+    """Analog of configs/nuscenes_single.gin (front camera only)."""
     return Config(
         dataset_loader="nusc", near=0.1, far=10.0, patch_size=32,
-        lidar_supervision=True, lidar_batch_ratio=4,
+        lidar_supervision=True, lidar_batch_ratio=4, sensor_num=1,
         model=ModelConfig(
             raydist_fn="power_transformation", opaque_background=True,
             use_semantic=True, instance_obj=True, latent_size=128,
@@ -276,6 +285,15 @@ def nuscenes_single() -> Config:
         track_refine=True, track_start_opt=5000, latent_reg=0.01,
         learn_R=True, learn_t=False,
     )
+
+
+def nuscenes_multi() -> Config:
+    """Analog of configs/nuscenes_multi.gin: the full 6-camera ring
+    (interleaved frames, front-hood masks handled by the loader,
+    data/nuscenes.py:78-110) with the same losses/refinement recipe."""
+    base = nuscenes_single()
+    return dataclasses.replace(base, sensor_num=6,
+                               start_step=0, end_step=5000)
 
 
 def nuscenes_single_fast() -> Config:
@@ -295,7 +313,16 @@ def nuscenes_single_fast() -> Config:
     is off and density normals are finite-difference-free here). Same
     heads, losses, and training recipe as nuscenes_single.
     """
-    base = nuscenes_single()
+    return fast_variant(nuscenes_single())
+
+
+def nuscenes_multi_fast() -> Config:
+    """TPU-throughput variant of nuscenes_multi (see nuscenes_single_fast)."""
+    return fast_variant(nuscenes_multi())
+
+
+def fast_variant(base: Config) -> Config:
+    """Apply the measured TPU fast-field design to any base config."""
     nerf_grid = GridConfig(level_dim=16, base_resolution=16,
                            desired_resolution=8192, log2_hashmap_size=17,
                            level_interval=8, interp="tetra",

@@ -81,6 +81,7 @@ class RayBatcher:
 
     def __init__(self, scene: SceneData, batch_size: int, patch_size: int = 1,
                  lidar_supervision: bool = False, lidar_batch_ratio: int = 4,
+                 aug_road: bool = False, aug_delta: float = 0.1,
                  seed: int = 0):
         self.scene = scene
         self.batch_size = batch_size
@@ -97,7 +98,12 @@ class RayBatcher:
             self.num_patches = 0
         self.num_patch_rays = self.num_patches * self.patch_size**2
         self.num_pixel_rays = batch_size - self.num_patch_rays
-        self.total_rays = batch_size + self.lidar_batch
+        # Road augmentation (reference datasets.py:367-370): pixel_rays // 4
+        # extra rays re-viewing road hit points from perturbed origins.
+        self.aug_road = aug_road
+        self.aug_delta = aug_delta
+        self.aug_rays = self.num_pixel_rays // 4 if aug_road else 0
+        self.total_rays = batch_size + self.aug_rays + self.lidar_batch
 
     def _sample_pixels(self, num: int, patch_size: int):
         """Random (x, y, cam) pixel coords, patch-structured when
@@ -163,6 +169,27 @@ class RayBatcher:
         batch["lidar_mask"] = np.ones(num, bool)
         return batch
 
+    def _augment(self, pix_batch: Dict[str, np.ndarray]
+                 ) -> Dict[str, np.ndarray]:
+        """Static-shape road augmentation (reference datasets.py:536-564):
+        select aug_rays rays preferring road pixels (semantic == 0 with
+        valid depth), perturb their origins, and re-aim at the original hit
+        point. Non-road fillers are marked aug_excl and drop out of every
+        supervision mask — the reference's aug_mask==1 convention."""
+        from . import road_augment
+
+        road = (pix_batch["semantic"] == 0) & (pix_batch["depth"] > 0)
+        # Road indices first (stable), fill with non-road to a fixed size.
+        order = np.argsort(~road, kind="stable")
+        sel = order[: self.aug_rays]
+        aug = {k: np.array(v[sel]) for k, v in pix_batch.items()}
+        aug_excl = ~road[sel]
+        aug = road_augment.batch_perturb(aug, delta=self.aug_delta,
+                                         rng=self.rng)
+        aug["exclude"] = aug["exclude"] | aug_excl
+        del aug["aug_mask"]  # folded into exclude
+        return aug
+
     def next(self) -> Dict[str, np.ndarray]:
         parts = []
         if self.num_patches > 0:
@@ -171,6 +198,8 @@ class RayBatcher:
             parts.append(self._camera_ray_batch(x, y, cam))
         x, y, cam = self._sample_pixels(self.num_pixel_rays, 1)
         parts.append(self._camera_ray_batch(x, y, cam))
+        if self.aug_rays > 0:
+            parts.append(self._augment(parts[-1]))
         if self.lidar_batch > 0:
             parts.append(self._lidar_ray_batch(self.lidar_batch))
 

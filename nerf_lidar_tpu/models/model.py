@@ -36,6 +36,14 @@ def _bias(x, s):
     return (s * x) / ((s - 1) * x + 1)
 
 
+def _class_slots(obj_class_ids):
+    """{class_id: [slot indices]} from the static per-slot class list."""
+    out = {}
+    for slot, k in enumerate(obj_class_ids):
+        out.setdefault(int(k), []).append(slot)
+    return out
+
+
 class Model(nn.Module):
     cfg: ModelConfig
 
@@ -49,7 +57,15 @@ class Model(nn.Module):
         if c.num_glo_features > 0:
             self.glo_vecs = nn.Embed(c.num_glo_embeddings, c.num_glo_features)
         if c.instance_obj and c.num_objects > 0:
-            self.obj_mlp = ZipMLP(c.obj_mlp)
+            if c.obj_class_ids:
+                # One obj MLP per distinct object class; slot membership is
+                # static (reference models.py:93-174 obj_mlp_{class_id}).
+                assert len(c.obj_class_ids) == c.num_objects
+                self.obj_mlps = {
+                    k: ZipMLP(c.obj_mlp, name=f"obj_mlp_cls{k}")
+                    for k in sorted(_class_slots(c.obj_class_ids))}
+            else:
+                self.obj_mlp = ZipMLP(c.obj_mlp)
             if c.latent_size > 0:
                 self.obj_latents = self.param(
                     "obj_latents", nn.initializers.normal(1.0),
@@ -163,11 +179,19 @@ class Model(nn.Module):
                 t_mids = 0.5 * (tdist[..., :-1] + tdist[..., 1:])
                 pts_w = (t_mids[..., None] * batch["directions"][..., None, :]
                          + batch["origins"][..., None, :])
+                class_groups = None
+                if c.obj_class_ids:
+                    class_groups = [
+                        (self.obj_mlps[k], tuple(slots))
+                        for k, slots in sorted(
+                            _class_slots(c.obj_class_ids).items())]
                 ray_results = objlib.composite_objects(
-                    self.obj_mlp,
+                    None if class_groups else self.obj_mlp,
                     self.obj_latents if c.latent_size > 0 else None,
                     pts_w, batch["viewdirs"], obj_pose, track_mask,
-                    ray_results, is_prop=is_prop)
+                    ray_results, is_prop=is_prop,
+                    sym=c.symmetrize and train and not is_prop,
+                    class_groups=class_groups)
 
             weights, _, _ = render.compute_alpha_weights(
                 ray_results["density"], tdist, batch["directions"],
@@ -198,6 +222,10 @@ class Model(nn.Module):
 
             if use_obj and "obj_mask" in ray_results:
                 rendering["obj_mask"] = ray_results["obj_mask"].sum(-1) > 0
+            if "loss_sym" in ray_results:
+                # Symmetry constraint on the final level only
+                # (reference models.py:574-576).
+                rendering["loss_sym"] = ray_results.pop("loss_sym")
 
             renderings.append(rendering)
             ray_results = dict(ray_results)

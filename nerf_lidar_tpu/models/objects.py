@@ -23,6 +23,7 @@ from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def rotate_z(p: jax.Array, theta: jax.Array) -> jax.Array:
@@ -174,10 +175,14 @@ def render_instance(model, params, track_id: int, height: int = 128,
         if lat_vec is not None:
             lat_b = jnp.broadcast_to(lat_vec, pts.shape[:2]
                                      + lat_vec.shape)
-        out = model.apply(
-            p, means, stds, dirs, lat_b,
-            method=lambda m, mm, ss, vd, lt: m.obj_mlp(
-                mm, ss, viewdirs=vd, latent=lt))
+        cls_ids = model.cfg.obj_class_ids
+
+        def _apply_obj(m, mm, ss, vd, lt):
+            mlp = (m.obj_mlps[int(cls_ids[track_id])] if cls_ids
+                   else m.obj_mlp)
+            return mlp(mm, ss, viewdirs=vd, latent=lt)
+
+        out = model.apply(p, means, stds, dirs, lat_b, method=_apply_obj)
         from ..ops import render as render_ops
         weights, _, _ = render_ops.compute_alpha_weights(
             out["density"], tdist, dirs)
@@ -253,57 +258,125 @@ def edit_tracks(tracks, track_mask, classes, new_track, class_name="car_fusion")
     return tracks, track_mask, classes
 
 
+def _eval_obj_mlp(obj_mlp, obj_latents, pts_o, dirs_o):
+    """One dense MLP evaluation over every (ray, sample, object) triple.
+
+    pts_o/dirs_o: [R, S, N, 3]. Objects fold into the sample axis, so the
+    whole slot set is ONE [R*S*N, W] GEMM batch on the MXU — compile time
+    and scheduling are constant in N_obj (the reference loops Python-side
+    per track, models.py:415-477; round 1 unrolled per slot, which blew up
+    compile time and FLOPs scheduling at N_obj >= 8).
+    Returns a dict of [R, S, N, ...] tensors.
+    """
+    R, S, N = pts_o.shape[:3]
+    p = pts_o.reshape(R, S * N, 1, 3)  # n=1 multisample
+    stds = jnp.zeros(p.shape[:-1])
+    lat = None
+    if obj_latents is not None:
+        lat = jnp.broadcast_to(obj_latents[None, None],
+                               (R, S) + obj_latents.shape)
+        lat = lat.reshape(R, S * N, -1)
+    out = obj_mlp(p, stds, viewdirs=dirs_o.reshape(R, S * N, 3), latent=lat)
+    return {k: (v.reshape((R, S, N) + v.shape[2:])
+                if v is not None else None) for k, v in out.items()}
+
+
+def _eval_obj_mlp_grouped(class_groups, obj_latents, pts_o, dirs_o):
+    """Per-class obj MLP dispatch (reference models.py:93-174 registers
+    `obj_mlp_{class_id}` modules and routes each track to its class MLP).
+
+    class_groups: list of (mlp, slot_indices tuple) with every object slot
+    appearing exactly once across groups. Slot membership is STATIC (track
+    classes are known at trace time), so each group is one dense MLP eval
+    over its own [R, S, N_k] sub-tensor — no data-dependent control flow.
+    """
+    parts = {}
+    order = []
+    for mlp, slots in class_groups:
+        idx = list(slots)
+        order.extend(idx)
+        lat = obj_latents[jnp.asarray(idx)] if obj_latents is not None \
+            else None
+        out = _eval_obj_mlp(mlp, lat, pts_o[:, :, idx], dirs_o[:, :, idx])
+        for k, v in out.items():
+            parts.setdefault(k, []).append(v)
+    # Undo the group permutation so outputs line up with slot order.
+    inv = np.argsort(np.asarray(order))
+    merged = {}
+    for k, vs in parts.items():
+        if any(v is None for v in vs):
+            merged[k] = None
+            continue
+        merged[k] = jnp.concatenate(vs, axis=2)[:, :, inv]
+    return merged
+
+
 def composite_objects(obj_mlp, obj_latents: Optional[jax.Array],
                       pts_w: jax.Array, viewdirs: jax.Array,
                       obj_pose: jax.Array, track_mask: Optional[jax.Array],
                       ray_results: Dict[str, jax.Array],
-                      is_prop: bool) -> Dict[str, jax.Array]:
+                      is_prop: bool, sym: bool = False,
+                      class_groups=None) -> Dict[str, jax.Array]:
     """Overwrite field predictions inside object boxes with ObjMLP output.
 
     pts_w: [R, S, 3]; obj_pose: [R, N_obj, F]; obj_latents: [N_obj, Z] or
     None; track_mask: [N_obj] bool validity of padded slots.
+
+    sym=True additionally evaluates the y-mirrored object-frame points
+    (reference obj_utils.py:236-311 `symmetrize` — vehicles are bilaterally
+    symmetric about their length axis) and returns "loss_sym": the masked
+    mean |stop_grad(raw) - mirrored| over density and rgb at intersecting
+    samples (reference models.py:225-237 `symmetry_constraint`; the unit
+    box is mirror-symmetric, so the mirror of an intersecting point
+    intersects too). Gradients flow only through the mirrored branch.
     """
-    R, S = pts_w.shape[:2]
     pts_o, dirs_o, inter = box_pts(pts_w, viewdirs, obj_pose)  # [R,S,N,*]
     if track_mask is not None:
         inter = inter & track_mask[None, None, :]
     n_obj = inter.shape[-1]
 
-    def eval_one(o):
-        p = pts_o[:, :, o, :][..., None, :]  # [R, S, 1, 3] (n=1 multisample)
-        stds = jnp.zeros(p.shape[:-1])
-        lat = None
-        if obj_latents is not None:
-            lat = jnp.broadcast_to(obj_latents[o], (R, S) + obj_latents[o].shape)
-        return obj_mlp(p, stds, viewdirs=dirs_o[:, :, o, :], latent=lat)
+    def eval_all(p, d):
+        if class_groups is not None:
+            return _eval_obj_mlp_grouped(class_groups, obj_latents, p, d)
+        return _eval_obj_mlp(obj_mlp, obj_latents, p, d)
 
-    # Evaluate the shared MLP for each object slot (static unrolled loop:
-    # n_obj is a config constant; each eval is a tiny GEMM batch).
-    outs = [eval_one(o) for o in range(n_obj)]
-
+    outs = eval_all(pts_o, dirs_o)
     if is_prop:
-        outs = [jax.tree.map(
-            lambda v: jax.lax.stop_gradient(v) if v is not None else None, o)
-            for o in outs]
+        outs = {k: (jax.lax.stop_gradient(v) if v is not None else None)
+                for k, v in outs.items()}
 
-    # Last intersecting object wins (reference overwrite order).
     results = dict(ray_results)
+    if sym:
+        mirror = jnp.asarray([1.0, -1.0, 1.0])
+        outs_sym = eval_all(
+            jax.lax.stop_gradient(pts_o) * mirror,
+            jax.lax.stop_gradient(dirs_o) * mirror)
+        m = inter.astype(jnp.float32)
+        denom = jnp.maximum(m.sum(), 1.0)
+        loss_sym = 0.0
+        for k in ("density", "rgb"):
+            raw = jax.lax.stop_gradient(outs[k])
+            diff = jnp.abs(raw - outs_sym[k])
+            if diff.ndim == m.ndim + 1:
+                diff = diff.mean(-1)
+            loss_sym = loss_sym + (diff * m).sum() / denom
+        results["loss_sym"] = loss_sym
+
+    # Last intersecting object wins (the reference's sequential overwrite
+    # order): gather the winner slot per (ray, sample) instead of chaining
+    # N_obj `where`s.
+    o_ids = jnp.arange(n_obj)
+    winner = jnp.argmax(jnp.where(inter, o_ids[None, None], -1), axis=-1)
+    any_inter = inter.any(-1)  # [R, S]
     for key in ("density", "rgb", "semantic", "intensity"):
         base = results.get(key)
-        if base is None:
+        ov = outs.get(key)
+        if base is None or ov is None:
             continue
-        merged = base
-        for o in range(n_obj):
-            ov = outs[o].get(key)
-            if ov is None:
-                continue
-            m = inter[:, :, o]
-            if ov.ndim == merged.ndim:
-                mm = m if merged.ndim == 2 else m[..., None]
-            else:
-                mm = m[..., None] if merged.ndim == 3 else m
-            merged = jnp.where(mm, ov, merged)
-        results[key] = merged
+        idx = winner[..., None, None] if ov.ndim == 4 else winner[..., None]
+        picked = jnp.take_along_axis(ov, idx, axis=2)[:, :, 0]
+        m = any_inter if base.ndim == 2 else any_inter[..., None]
+        results[key] = jnp.where(m, picked, base)
 
     results["obj_mask"] = inter
     return results

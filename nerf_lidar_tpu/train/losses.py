@@ -307,6 +307,14 @@ def compute_losses(params, batch, renderings, ray_history,
                                                     config)
     if config.model.latent_size > 0:
         losses["latent_reg"] = latent_reg(params, config)
+    if config.model.symmetrize and "loss_sym" in renderings[-1]:
+        # Symmetry constraint, active after sym_start steps
+        # (reference train.py:433-434; step is traced, so the gate is a
+        # where, not Python control flow).
+        step_f = jnp.asarray(step, jnp.float32)
+        losses["sym"] = jnp.where(
+            step_f > config.sym_start,
+            config.sym_loss * renderings[-1]["loss_sym"], 0.0)
     losses.update(smoothness_losses(batch, renderings, config,
                                     num_patch_rays=num_patch_rays))
     return losses

@@ -162,6 +162,39 @@ def test_load_scene_lidar_rays(scene_dir):
     assert d.lidar_timestamps is not None
 
 
+def test_batcher_road_augmentation(scene_dir):
+    scene = nuscenes.load_scene(scene_dir)
+    b = RayBatcher(scene.data, batch_size=128, patch_size=4,
+                   aug_road=True, aug_delta=0.05, seed=3)
+    # patch rays = 128//4 = 32 (two 4x4 patches), pixel rays = 96,
+    # aug rays = 96//4 = 24.
+    assert b.aug_rays == b.num_pixel_rays // 4
+    assert b.total_rays == 128 + b.aug_rays
+    batch = b.next()
+    assert batch["origins"].shape[0] == b.total_rays
+    lo = b.num_patch_rays + b.num_pixel_rays
+    aug = {k: v[lo:lo + b.aug_rays] for k, v in batch.items()}
+    pix = {k: v[b.num_patch_rays:lo] for k, v in batch.items()}
+    # Road aug rays re-aim at the same 3D hit point from a moved origin.
+    road = aug["rgb_mask"]
+    if road.any():
+        tgt_aug = aug["origins"] + aug["depth"][:, None] * aug["viewdirs"]
+        # Each selected ray came from the pixel part: its target must match
+        # one of the road pixel targets.
+        road_pix = (pix["semantic"] == 0) & (pix["depth"] > 0)
+        tgt_pix = (pix["origins"]
+                   + pix["depth"][:, None] * pix["viewdirs"])[road_pix]
+        d = np.linalg.norm(tgt_aug[road][:, None] - tgt_pix[None], axis=-1)
+        assert d.min(axis=-1).max() < 1e-3
+        # Origins actually moved by aug_delta off the camera centers.
+        d_o = np.linalg.norm(aug["origins"][road][:, None]
+                             - pix["origins"][road_pix][None], axis=-1)
+        assert abs(d_o.min(axis=-1) - 0.05).max() < 1e-4
+    # Supervision only on road-targeted aug rays.
+    assert not (aug["rgb_mask"] & ~((aug["semantic"] == 0))).any()
+    assert not aug["lidar_mask"].any()
+
+
 def test_batcher_runs_on_loaded_scene(scene_dir):
     scene = nuscenes.load_scene(scene_dir)
     b = RayBatcher(scene.data, batch_size=128, patch_size=4,

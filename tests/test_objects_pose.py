@@ -175,6 +175,211 @@ def test_model_with_objects_forward_and_latent_grads():
     assert sum(jax.tree.leaves(g_obj)) > 0
 
 
+def test_composite_winner_matches_where_chain():
+    # The winner-gather compositing must reproduce the sequential
+    # "last intersecting object wins" where-chain it replaced.
+    cfg, model, tracks, track_mask = _obj_model_setup()
+    batch = _batch_through_origin()
+    params = model.init(jax.random.PRNGKey(0), None, batch, tracks=tracks,
+                        track_mask=track_mask)
+    R, S = 6, 5
+    rng = np.random.RandomState(2)
+    pts_w = jnp.asarray(rng.randn(R, S, 3).astype(np.float32) * 1.5)
+    viewdirs = jnp.asarray(rng.randn(R, 3).astype(np.float32))
+    # Overlapping boxes so several samples intersect BOTH objects.
+    obj_pose = jnp.asarray(np.tile(
+        np.array([[0, 0, 0, 0.3, 2.0, 2.0, 2.0, 0, 0],
+                  [0.3, 0, 0, 0.0, 2.0, 2.0, 2.0, 0, 1]], np.float32),
+        (R, 1, 1)))
+    base = dict(
+        density=jnp.asarray(rng.rand(R, S).astype(np.float32)),
+        rgb=jnp.asarray(rng.rand(R, S, 3).astype(np.float32)),
+        semantic=jnp.asarray(rng.rand(R, S, 5).astype(np.float32)),
+        intensity=None)
+
+    def obj_fn(p, s, viewdirs=None, latent=None):
+        return model.apply(params, p, s, viewdirs, latent,
+                           method=lambda m, a, b, c, d: m.obj_mlp(
+                               a, b, viewdirs=c, latent=d))
+
+    lat = params["params"]["obj_latents"]
+    got = objlib.composite_objects(obj_fn, lat, pts_w, viewdirs, obj_pose,
+                                   jnp.asarray(track_mask), base,
+                                   is_prop=False)
+    assert np.asarray(got["obj_mask"]).sum() > 0, "test needs intersections"
+    # Oracle: the round-1 sequential where-chain over the same dense outs.
+    pts_o, dirs_o, inter = objlib.box_pts(pts_w, viewdirs, obj_pose)
+    inter = np.asarray(inter & track_mask[None, None, :])
+    assert (inter.sum(-1) > 1).any(), "test needs OVERLAPPING boxes"
+    outs = objlib._eval_obj_mlp(obj_fn, lat, pts_o, dirs_o)
+    for key in ("density", "rgb", "semantic"):
+        merged = np.asarray(base[key])
+        ov = np.asarray(outs[key])
+        for o in range(2):
+            m = inter[:, :, o]
+            mm = m if merged.ndim == 2 else m[..., None]
+            merged = np.where(mm, ov[:, :, o], merged)
+        np.testing.assert_allclose(np.asarray(got[key]), merged,
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_symmetry_loss_and_grads():
+    cfg, model, tracks, track_mask = _obj_model_setup()
+    mcfg = dataclasses.replace(model.cfg, symmetrize=True)
+    model = Model(mcfg)
+    batch = _batch_through_origin()
+    params = model.init(jax.random.PRNGKey(0), None, batch, tracks=tracks,
+                        track_mask=track_mask)
+    renderings, _ = model.apply(params, None, batch, train=True,
+                                tracks=tracks, track_mask=track_mask)
+    ls = renderings[-1]["loss_sym"]
+    assert np.isfinite(float(ls)) and float(ls) >= 0
+    # Eval mode (train=False) must not pay for or emit the sym branch.
+    r_eval, _ = model.apply(params, None, batch, tracks=tracks,
+                            track_mask=track_mask)
+    assert "loss_sym" not in r_eval[-1]
+
+    # Gradients flow ONLY through the mirrored branch into the obj MLP.
+    def loss(p):
+        r, _ = model.apply(p, None, batch, train=True, tracks=tracks,
+                           track_mask=track_mask)
+        return r[-1]["loss_sym"]
+
+    grads = jax.grad(loss)(params)
+    g_obj = sum(jax.tree.leaves(jax.tree.map(
+        lambda x: float(jnp.abs(x).sum()), grads["params"]["obj_mlp"])))
+    g_nerf = sum(jax.tree.leaves(jax.tree.map(
+        lambda x: float(jnp.abs(x).sum()), grads["params"]["nerf_mlp"])))
+    assert g_obj > 0
+    assert g_nerf == 0
+
+
+def test_sym_loss_gated_by_sym_start():
+    from nerf_lidar_tpu.train import losses as losses_lib
+    cfg, model, tracks, track_mask = _obj_model_setup()
+    cfg = dataclasses.replace(
+        cfg, sym_start=10, sym_loss=2.0,
+        model=dataclasses.replace(cfg.model, symmetrize=True))
+    model = Model(cfg.model)
+    batch = _batch_through_origin()
+    batch.update({k: jnp.asarray(v) for k, v in dict(
+        rgb=np.random.RandomState(0).rand(8, 3).astype(np.float32),
+        rgb_mask=np.ones(8, bool)).items()})
+    params = model.init(jax.random.PRNGKey(0), None, batch, tracks=tracks,
+                        track_mask=track_mask)
+    renderings, ray_history = model.apply(
+        params, None, batch, train=True, tracks=tracks,
+        track_mask=track_mask)
+    cfg_min = dataclasses.replace(cfg, depth_loss=False,
+                                  hash_decay_mults=0.0)
+    before = losses_lib.compute_losses(params, batch, renderings,
+                                       ray_history, cfg_min, step=5)
+    after = losses_lib.compute_losses(params, batch, renderings,
+                                      ray_history, cfg_min, step=11)
+    assert float(before["sym"]) == 0.0
+    assert float(after["sym"]) == 2.0 * float(renderings[-1]["loss_sym"])
+
+
+def test_composite_scales_to_nobj16():
+    cfg, model, _, _ = _obj_model_setup()
+    mcfg = dataclasses.replace(model.cfg, num_objects=16)
+    model = Model(mcfg)
+    N, T = 16, 3
+    tracks = np.zeros((N, T, 9), np.float32)
+    tracks[:, :, 0] = np.linspace(0.5, 5.5, N)[:, None]
+    tracks[:, :, 4:7] = 0.5
+    tracks[:, :, -2] = np.arange(T)
+    track_mask = np.ones(N, bool)
+    batch = _batch_through_origin()
+    params = model.init(jax.random.PRNGKey(0), None, batch,
+                        tracks=jnp.asarray(tracks),
+                        track_mask=jnp.asarray(track_mask))
+    renderings, _ = jax.jit(
+        lambda p, b, tr, tm: model.apply(p, None, b, tracks=tr,
+                                         track_mask=tm))(
+        params, batch, jnp.asarray(tracks), jnp.asarray(track_mask))
+    assert renderings[-1]["rgb"].shape == (8, 3)
+    assert np.isfinite(np.asarray(renderings[-1]["rgb"])).all()
+    assert bool(renderings[-1]["obj_mask"].any())
+
+
+def test_per_class_obj_mlps_and_transplant(tmp_path):
+    from nerf_lidar_tpu.train import checkpoints as ckpt_lib
+    cfg, model, tracks, track_mask = _obj_model_setup()
+    mcfg = dataclasses.replace(model.cfg, obj_class_ids=(0, 2))
+    model = Model(mcfg)
+    batch = _batch_through_origin()
+    params = model.init(jax.random.PRNGKey(0), None, batch, tracks=tracks,
+                        track_mask=track_mask)
+    # One MLP per distinct class, named by class id.
+    assert "obj_mlp_cls0" in params["params"]
+    assert "obj_mlp_cls2" in params["params"]
+    assert "obj_mlp" not in params["params"]
+    renderings, _ = model.apply(params, None, batch, tracks=tracks,
+                                track_mask=track_mask)
+    assert bool(renderings[-1]["obj_mask"].any())
+    assert np.isfinite(np.asarray(renderings[-1]["rgb"])).all()
+
+    # Each class MLP gets gradients only from its own slots: zero out
+    # the intersection of slot 1 (class 2) by shrinking its box.
+    def loss(p, tr):
+        r, _ = model.apply(p, None, batch, tracks=tr,
+                           track_mask=track_mask)
+        return (r[-1]["rgb"] ** 2).mean()
+
+    tracks_no1 = np.asarray(tracks).copy()
+    tracks_no1[1, :, 4:7] = 0.0  # slot 1 box vanishes
+    g = jax.grad(loss)(params, jnp.asarray(tracks_no1))
+    g2 = sum(jax.tree.leaves(jax.tree.map(
+        lambda x: float(jnp.abs(x).sum()),
+        g["params"]["obj_mlp_cls2"])))
+    g0 = sum(jax.tree.leaves(jax.tree.map(
+        lambda x: float(jnp.abs(x).sum()),
+        g["params"]["obj_mlp_cls0"])))
+    assert g0 > 0
+    assert g2 == 0.0
+
+    # Transplant: save class-2's subtree, restore into a fresh init.
+    path = str(tmp_path / "cls2.ckpt")
+    ckpt_lib.save_obj_mlp_params(params, "obj_mlp_cls2", path)
+    params_b = model.init(jax.random.PRNGKey(9), None, batch, tracks=tracks,
+                          track_mask=track_mask)
+    params_c = ckpt_lib.restore_obj_mlp_params(params_b, "obj_mlp_cls2",
+                                               path)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)),
+        params["params"]["obj_mlp_cls2"], params_c["params"]["obj_mlp_cls2"])
+    # Untouched subtrees keep the fresh init.
+    a0 = jax.tree.leaves(params_b["params"]["obj_mlp_cls0"])[0]
+    c0 = jax.tree.leaves(params_c["params"]["obj_mlp_cls0"])[0]
+    np.testing.assert_array_equal(np.asarray(a0), np.asarray(c0))
+
+
+def test_per_class_matches_shared_when_same_params():
+    # With every slot in ONE class group, grouped eval must equal the
+    # shared-MLP path exactly.
+    cfg, model, tracks, track_mask = _obj_model_setup()
+    batch = _batch_through_origin()
+    params = model.init(jax.random.PRNGKey(0), None, batch, tracks=tracks,
+                        track_mask=track_mask)
+    r_shared, _ = model.apply(params, None, batch, tracks=tracks,
+                              track_mask=track_mask)
+
+    mcfg = dataclasses.replace(model.cfg, obj_class_ids=(1, 1))
+    model_pc = Model(mcfg)
+    # Same weights everywhere: rebuild the tree with the shared obj MLP's
+    # params under the class-1 name (init RNG folds in module names, so a
+    # fresh init would differ in every subtree).
+    p = {k: v for k, v in params["params"].items() if k != "obj_mlp"}
+    p["obj_mlp_cls1"] = params["params"]["obj_mlp"]
+    params_pc = {"params": p}
+    r_pc, _ = model_pc.apply(params_pc, None, batch, tracks=tracks,
+                             track_mask=track_mask)
+    np.testing.assert_allclose(np.asarray(r_pc[-1]["rgb"]),
+                               np.asarray(r_shared[-1]["rgb"]),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_render_instance_orbit():
     from nerf_lidar_tpu.models import objects as objlib
     cfg, model, tracks, track_mask = _obj_model_setup()
