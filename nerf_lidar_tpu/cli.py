@@ -68,6 +68,8 @@ def build_config(args) -> configs.Config:
     base = {
         "nuscenes_single": configs.nuscenes_single,
         "nuscenes_single_fast": configs.nuscenes_single_fast,
+        "nuscenes_multi": configs.nuscenes_multi,
+        "nuscenes_multi_fast": configs.nuscenes_multi_fast,
         "tiny_debug": configs.tiny_debug,
         "default": configs.Config,
     }[args.config]()
@@ -96,8 +98,10 @@ def load_scene_for(cfg: configs.Config, split: str = "train"):
     from .data import nuscenes
     return nuscenes.load_scene(
         cfg.data_dir, split=split, factor=max(cfg.factor, 1),
+        sensor_num=cfg.sensor_num,
         load_lidar=cfg.lidar_supervision or split == "lidar",
-        load_objects=cfg.model.instance_obj)
+        load_objects=cfg.model.instance_obj,
+        semantic_dilate=cfg.semantic_dilate)
 
 
 def exp_dir(cfg: configs.Config) -> str:
@@ -120,6 +124,7 @@ def cmd_train(args):
     from .utils.logging import MetricsLogger, Timer
 
     cfg = build_config(args)
+    cfg.validate()
     # Decorrelate per-host sampling like the reference's seed + rank offset
     # (train.py:61).
     cfg = dataclasses.replace(cfg, seed=cfg.seed + jax.process_index())
@@ -150,11 +155,18 @@ def cmd_train(args):
     batcher = RayBatcher(data, cfg.batch_size, cfg.patch_size,
                          lidar_supervision=cfg.lidar_supervision,
                          lidar_batch_ratio=cfg.lidar_batch_ratio,
+                         aug_road=cfg.aug_road, aug_delta=cfg.aug_delta,
                          seed=cfg.seed)
     model = Model(cfg.model)
     batch0 = jax.tree.map(jnp.asarray, batcher.next())
     params = jax.jit(model.init)(jax.random.PRNGKey(cfg.seed), None, batch0,
                                  tracks=tracks, track_mask=track_mask)
+    # Transplant pre-trained per-class obj fields (external/load_ckpt.py
+    # analog): --obj_ckpt obj_mlp_cls2=path.ckpt, repeatable.
+    for spec in args.obj_ckpt or []:
+        name, _, path = spec.partition("=")
+        params = checkpoints.restore_obj_mlp_params(params, name, path)
+        print(f"restored obj MLP '{name}' from {path}")
 
     posenet = tracknet = None
     pn_params = tn_params = None
@@ -188,6 +200,7 @@ def cmd_train(args):
     workers = [RayBatcher(data, cfg.batch_size, cfg.patch_size,
                           lidar_supervision=cfg.lidar_supervision,
                           lidar_batch_ratio=cfg.lidar_batch_ratio,
+                          aug_road=cfg.aug_road, aug_delta=cfg.aug_delta,
                           seed=cfg.seed + 1000 + w) for w in range(2)]
     _locks = [threading.Lock() for _ in workers]
     _rr = itertools.count()
@@ -202,11 +215,49 @@ def cmd_train(args):
     prefetcher = BatchPrefetcher(make_batch, depth=3, num_workers=2,
                                  sharding=sharding)
 
+    # In-train test-view render (reference train.py:585-662): every
+    # train_render_every steps, render one held-out view and log PSNR so
+    # long TPU runs don't fly blind between checkpoints.
+    test_renderer = None
+    if cfg.train_render_every > 0 and data.num_views > 1:
+        from .renderer import ChunkRenderer, render_view
+        from .utils.image import psnr as psnr_fn
+        test_renderer = ChunkRenderer(model, cfg, cfg.render_chunk_size,
+                                      mesh=mesh)
+        test_view = data.num_views - 1
+        test_rays = _view_rays(data, test_view)
+        test_gt = data.images[test_view]
+
+    def _train_render(step_done, params):
+        import imageio.v2 as imageio
+        p = params["model"] if isinstance(params, dict) and \
+            "model" in params else params
+        img = render_view(test_renderer, p, test_rays, tracks, track_mask)
+        psnr = float(psnr_fn(jnp.asarray(img["rgb"]),
+                             jnp.asarray(test_gt)))
+        d = os.path.join(out, "train_renders")
+        os.makedirs(d, exist_ok=True)
+        imageio.imwrite(
+            os.path.join(d, f"rgb_{step_done:06d}.png"),
+            (np.clip(img["rgb"], 0, 1) * 255).astype(np.uint8))
+        logger.log(step_done, test_psnr=psnr)
+        print(f"step {step_done}: test view {test_view} psnr={psnr:.2f}")
+
     for step in range(init_step, max_steps):
+        # jax.profiler trace window (view with tensorboard/xprof).
+        if args.trace_dir and step == init_step + args.trace_start:
+            jax.profiler.start_trace(args.trace_dir)
         batch = prefetcher.next()
         key, sub = jax.random.split(key)
         state, stats = step_fn(state, batch, sub, tracks, track_mask)
         timer.tick(batcher.total_rays)
+        if args.trace_dir and step == init_step + args.trace_stop:
+            jax.block_until_ready(stats["loss"])
+            jax.profiler.stop_trace()
+            print(f"profiler trace written to {args.trace_dir}")
+        if test_renderer is not None and \
+                (step + 1) % cfg.train_render_every == 0:
+            _train_render(step + 1, state.params)
         if (step + 1) % cfg.print_every == 0:
             jax.block_until_ready(stats["loss"])
             dt, rays_per_sec = timer.mark()
@@ -226,13 +277,15 @@ def cmd_train(args):
 
 
 def cmd_eval(args):
+    import json
+    import time as timelib
+
     import jax
     import jax.numpy as jnp
     from .models.model import Model
     from .renderer import ChunkRenderer, render_view
     from .train import checkpoints, train_step
     from .utils.image import MetricHarness, color_correct
-    from .data import camera as camlib
 
     cfg = build_config(args)
     out = exp_dir(cfg)
@@ -242,54 +295,113 @@ def cmd_eval(args):
         cfg.model, instance_obj=False) if getattr(scene, "tracks", None)
         is None else cfg.model)
 
-    # Restore params (via a dummy state with matching structure).
+    # Dummy state with matching structure for checkpoint restores.
     batch0 = _probe_batch(data)
-    params = jax.jit(model.init)(jax.random.PRNGKey(0), None, batch0)
-    state, tx = train_step.create_train_state(cfg, params)
-    state, step = checkpoints.restore_checkpoint(out, state)
-    params = state.params["model"] if isinstance(state.params, dict) and \
-        "model" in state.params else state.params
-    print(f"restored step {step}")
+    params0 = jax.jit(model.init)(jax.random.PRNGKey(0), None, batch0)
+    state0, tx = train_step.create_train_state(cfg, params0)
 
-    import time as timelib
     renderer = ChunkRenderer(model, cfg, cfg.render_chunk_size)
     harness = MetricHarness()
-    metrics = []
-    render_times = []
     n_views = min(data.num_views, args.max_views or data.num_views)
     os.makedirs(os.path.join(out, "eval"), exist_ok=True)
-    for i in range(n_views):
-        pixtocam = (data.pixtocam if data.pixtocam.ndim == 2
-                    else data.pixtocam[i])
-        x, y = np.meshgrid(np.arange(data.width), np.arange(data.height))
-        rays = camlib.pixels_to_rays(x, y, pixtocam, data.camtoworlds[i])
-        rays["near"] = np.full((data.height, data.width, 1), data.near,
-                               np.float32)
-        rays["far"] = np.full((data.height, data.width, 1), data.far,
-                              np.float32)
-        t0 = timelib.perf_counter()
-        img = render_view(renderer, params, rays)
-        render_times.append(timelib.perf_counter() - t0)
-        gt = data.images[i]
-        m = harness(jnp.asarray(img["rgb"]), jnp.asarray(gt))
-        cc = np.asarray(color_correct(jnp.asarray(img["rgb"]),
-                                      jnp.asarray(gt)))
-        m.update(harness(jnp.asarray(cc), jnp.asarray(gt), "_cc"))
-        metrics.append(m)
-        print(f"view {i}: " + " ".join(f"{k}={v:.3f}"
-                                       for k, v in m.items())
-              + f" ({render_times[-1]:.1f}s)")
-        np.save(os.path.join(out, "eval", f"rgb_{i:03d}.npy"), img["rgb"])
-    avg = {k: float(np.mean([m[k] for m in metrics])) for k in metrics[0]}
-    avg["median_render_time_s"] = float(np.median(render_times))
-    print("mean:", avg)
-    import json
-    with open(os.path.join(out, "eval", "metrics.json"), "w") as f:
-        json.dump(avg, f, indent=2)
-    # Per-view render-time dump (reference eval.py:220-221).
-    with open(os.path.join(out, "eval", f"render_times_{step}.txt"),
-              "w") as f:
-        f.write("\n".join(f"{t:.4f}" for t in render_times))
+
+    def eval_checkpoint(step, params):
+        metrics = []
+        render_times = []
+        for i in range(n_views):
+            rays = _view_rays(data, i)
+            t0 = timelib.perf_counter()
+            img = render_view(renderer, params, rays)
+            render_times.append(timelib.perf_counter() - t0)
+            gt = data.images[i]
+            m = harness(jnp.asarray(img["rgb"]), jnp.asarray(gt))
+            cc = np.asarray(color_correct(jnp.asarray(img["rgb"]),
+                                          jnp.asarray(gt)))
+            m.update(harness(jnp.asarray(cc), jnp.asarray(gt), "_cc"))
+            metrics.append(m)
+            print(f"view {i}: " + " ".join(f"{k}={v:.3f}"
+                                           for k, v in m.items())
+                  + f" ({render_times[-1]:.1f}s)")
+            np.save(os.path.join(out, "eval", f"rgb_{i:03d}.npy"),
+                    img["rgb"])
+        avg = {k: float(np.mean([m[k] for m in metrics]))
+               for k in metrics[0]}
+        avg["median_render_time_s"] = float(np.median(render_times))
+        avg["step"] = step
+        print(f"step {step} mean:", avg)
+        with open(os.path.join(out, "eval", "metrics.json"), "w") as f:
+            json.dump(avg, f, indent=2)
+        with open(os.path.join(out, "eval", f"metrics_{step}.json"),
+                  "w") as f:
+            json.dump(avg, f, indent=2)
+        # Per-view render-time dump (reference eval.py:220-221).
+        with open(os.path.join(out, "eval", f"render_times_{step}.txt"),
+                  "w") as f:
+            f.write("\n".join(f"{t:.4f}" for t in render_times))
+
+    def restore_latest():
+        state, step = checkpoints.restore_checkpoint(out, state0)
+        p = state.params
+        return step, (p["model"] if isinstance(p, dict) and "model" in p
+                      else p)
+
+    if not args.follow:
+        step, params = restore_latest()
+        print(f"restored step {step}")
+        eval_checkpoint(step, params)
+        return
+
+    follow_checkpoints(
+        out, lambda step: eval_checkpoint(step, restore_latest()[1]),
+        poll_every=args.poll_every, timeout=args.follow_timeout,
+        stop_step=args.steps or cfg.max_steps)
+
+
+def follow_checkpoints(out: str, eval_fn, poll_every: float = 10.0,
+                       timeout: float = 1800.0, stop_step: int = 0):
+    """Daemon loop (reference eval.py:67-71): poll `out` for new
+    checkpoints, call eval_fn(step) once per new one, stop after the
+    stop_step checkpoint or `timeout` idle seconds."""
+    import time as timelib
+    from .train import checkpoints
+
+    last_step = -1
+    idle = 0.0
+    while True:
+        latest = checkpoints.latest_checkpoint(out)
+        step = checkpoints.checkpoint_step(latest) if latest else 0
+        if latest and step > last_step:
+            print(f"eval --follow: new checkpoint at step {step}")
+            eval_fn(step)
+            last_step = step
+            idle = 0.0
+            if stop_step and step >= stop_step:
+                print("eval --follow: final checkpoint evaluated")
+                return
+        else:
+            timelib.sleep(poll_every)
+            idle += poll_every
+            if timeout and idle >= timeout:
+                print("eval --follow: no new checkpoint; giving up")
+                return
+
+
+def _view_rays(data, i: int):
+    """Full [H, W] ray grid + GT for view i (shared by eval and the
+    in-train test render, reference train.py:585-605)."""
+    from .data import camera as camlib
+    pixtocam = (data.pixtocam if data.pixtocam.ndim == 2
+                else data.pixtocam[i])
+    x, y = np.meshgrid(np.arange(data.width), np.arange(data.height))
+    rays = camlib.pixels_to_rays(x, y, pixtocam, data.camtoworlds[i])
+    rays["near"] = np.full((data.height, data.width, 1), data.near,
+                           np.float32)
+    rays["far"] = np.full((data.height, data.width, 1), data.far,
+                          np.float32)
+    if data.timestamps is not None:
+        rays["timestamp"] = np.full((data.height, data.width),
+                                    data.timestamps[i], np.float32)
+    return rays
 
 
 def _probe_batch(data, n: int = 8):
@@ -492,6 +604,78 @@ def cmd_render_lidar(args):
     print(f"wrote {len(paths)} sweeps to {sweep_dir}")
 
 
+def cmd_lidar_eval(args):
+    """Replay the scene's real LiDAR returns through the trained field and
+    score depth error, point-cloud Chamfer, and (when per-point labels
+    exist) per-class IoU/mIoU — the framework analog of the reference's
+    render_lidar_eval hook (internal/lidar_utils.py:892-961)."""
+    import json
+
+    import jax
+    from .models.model import Model
+    from .renderer import ChunkRenderer
+    from .data.batching import cast_lidar_rays
+    from .utils import pc_metrics
+
+    cfg = build_config(args)
+    out = exp_dir(cfg)
+    scene = load_scene_for(cfg, "lidar")
+    data = scene.data
+    if data.lidar_origins is None:
+        raise SystemExit("scene has no LiDAR returns to replay")
+    model = Model(dataclasses.replace(cfg.model, instance_obj=False))
+    params, step = _restore_model_params(cfg, model, data)
+    print(f"restored step {step}")
+
+    o, d, gt_depth = (data.lidar_origins, data.lidar_dirs, data.lidar_depth)
+    ts = data.lidar_timestamps
+    if args.max_rays and o.shape[0] > args.max_rays:
+        sel = np.random.RandomState(0).choice(o.shape[0], args.max_rays,
+                                              replace=False)
+        o, d, gt_depth = o[sel], d[sel], gt_depth[sel]
+        ts = ts[sel] if ts is not None else None
+    rays = cast_lidar_rays(o, d, data.near, data.far)
+    if ts is not None:
+        rays["timestamp"] = ts.astype(np.float32)
+
+    renderer = ChunkRenderer(model, cfg, cfg.render_chunk_size)
+    outr = renderer.render(params, rays)
+    depth = outr["depth"].reshape(-1)
+    err = np.abs(depth - gt_depth)
+    pred_pts = o + depth[:, None] * rays["viewdirs"]
+    gt_pts = o + gt_depth[:, None] * rays["viewdirs"]
+    metrics = {
+        "step": int(step),
+        "num_rays": int(o.shape[0]),
+        "depth_mae": float(err.mean()),
+        "depth_median": float(np.median(err)),
+        "depth_rmse": float(np.sqrt((err**2).mean())),
+    }
+    metrics.update(pc_metrics.chamfer_distance(pred_pts, gt_pts))
+
+    labels = None
+    if getattr(scene, "lidar", None):
+        labels = scene.lidar.get("labels")
+    ed = os.path.join(out, "lidar_eval")
+    os.makedirs(ed, exist_ok=True)
+    if "semantic" in outr and labels is not None:
+        pred_sem = np.argmax(outr["semantic"], axis=-1)
+        ious = pc_metrics.eval_miou(
+            pred_sem, labels, num_classes=outr["semantic"].shape[-1])
+        metrics.update(ious)
+        with open(os.path.join(ed, "iou.txt"), "w") as f:
+            for k, v in ious.items():
+                f.write(f"{k} {v}\n")
+    if "semantic" in outr:
+        np.save(os.path.join(ed, "pred_semantic.npy"),
+                np.argmax(outr["semantic"], axis=-1))
+    np.save(os.path.join(ed, "pred_depth.npy"), depth)
+    np.save(os.path.join(ed, "gt_depth.npy"), gt_depth)
+    with open(os.path.join(ed, "metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=2)
+    print("lidar_eval:", json.dumps(metrics))
+
+
 def cmd_render_instance(args):
     """Orbit-render a single dynamic object's field
     (reference obj_rendering / render_video render_instance)."""
@@ -555,6 +739,8 @@ def cmd_raydrop_train(args):
         raise SystemExit("--features must point to a .npy dict of "
                          "images/masks/ranges (see build_training_set)")
     cfg = RayDropConfig(epochs=args.epochs, vgg=not args.no_vgg,
+                        vgg_npz=args.vgg_npz, darknet=args.darknet,
+                        darknet_npz=args.darknet_npz,
                         batch_size=args.batch_size)
     trainer = RayDropTrainer(cfg)
     out = os.path.join("exp", args.exp_name or "raydrop")
@@ -596,6 +782,7 @@ def main(argv: Optional[List[str]] = None):
     def common(sp):
         sp.add_argument("--config", default="nuscenes_single",
                         choices=["nuscenes_single", "nuscenes_single_fast",
+                                 "nuscenes_multi", "nuscenes_multi_fast",
                                  "tiny_debug", "default"])
         sp.add_argument("--data_dir", default=None)
         sp.add_argument("--exp_name", default=None)
@@ -607,11 +794,27 @@ def main(argv: Optional[List[str]] = None):
     sp.add_argument("--steps", type=int, default=0)
     sp.add_argument("--multihost", action="store_true",
                     help="jax.distributed.initialize() for multi-host runs")
+    sp.add_argument("--trace_dir", default=None,
+                    help="write a jax.profiler trace of steps "
+                         "[trace_start, trace_stop] to this dir")
+    sp.add_argument("--trace_start", type=int, default=10)
+    sp.add_argument("--trace_stop", type=int, default=15)
+    sp.add_argument("--obj_ckpt", action="append", default=[],
+                    help="transplant a pre-trained obj MLP subtree: "
+                         "name=path (e.g. obj_mlp_cls2=car.ckpt)")
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("eval")
     common(sp)
     sp.add_argument("--max_views", type=int, default=0)
+    sp.add_argument("--follow", action="store_true",
+                    help="poll for new checkpoints and evaluate each "
+                         "(reference eval.py:67-71 daemon mode)")
+    sp.add_argument("--poll_every", type=float, default=10.0)
+    sp.add_argument("--follow_timeout", type=float, default=1800.0,
+                    help="stop after this many idle seconds (0 = never)")
+    sp.add_argument("--steps", type=int, default=0,
+                    help="stop --follow once this step is evaluated")
     sp.set_defaults(fn=cmd_eval)
 
     sp = sub.add_parser("render")
@@ -642,6 +845,12 @@ def main(argv: Optional[List[str]] = None):
     sp.add_argument("--end", type=float, nargs=3)
     sp.set_defaults(fn=cmd_render_lidar)
 
+    sp = sub.add_parser("lidar_eval")
+    common(sp)
+    sp.add_argument("--max_rays", type=int, default=0,
+                    help="subsample the replayed returns (0 = all)")
+    sp.set_defaults(fn=cmd_lidar_eval)
+
     sp = sub.add_parser("render_instance")
     common(sp)
     sp.add_argument("--track_id", type=int, default=0)
@@ -662,6 +871,12 @@ def main(argv: Optional[List[str]] = None):
     sp.add_argument("--epochs", type=int, default=100)
     sp.add_argument("--batch_size", type=int, default=4)
     sp.add_argument("--no_vgg", action="store_true")
+    sp.add_argument("--vgg_npz", default=None,
+                    help="converted torchvision VGG19 weights (.npz)")
+    sp.add_argument("--darknet", action="store_true",
+                    help="add the rangenet darknet-53 feature loss")
+    sp.add_argument("--darknet_npz", default=None,
+                    help="converted rangenet backbone weights (.npz)")
     sp.set_defaults(fn=cmd_raydrop_train)
 
     sp = sub.add_parser("raydrop_drop")

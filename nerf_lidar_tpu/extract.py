@@ -93,17 +93,150 @@ def rgb_at_points(model, params, pts_w: np.ndarray, chunk: int = 32768,
     return np.clip(out[:n], 0, 1)
 
 
+def build_visibility_grid(model, params, scene_data, resolution: int = 128,
+                          mesh_radius: float = 1.0,
+                          weight_thresh: float = 0.005,
+                          pixel_stride: int = 8,
+                          chunk: int = 8192) -> np.ndarray:
+    """Mark contracted-space voxels actually traversed by high-weight ray
+    samples from the training views.
+
+    TPU-native analog of the reference's grid_sample-backward trick
+    (extract.py:360-391): instead of autograd through grid_sample, the
+    trilinear footprint of every sample with weight > weight_thresh is
+    scattered directly — the 8 surrounding voxels of each valid point get
+    marked. Returns a bool [R, R, R] grid over
+    [-mesh_radius, mesh_radius]^3 contracted space.
+    """
+    from .data import camera as camlib
+
+    def chunk_fn(p, batch):
+        _, ray_history = model.apply(p, None, batch, train_frac=1.0)
+        last = ray_history[-1]
+        t_mid = 0.5 * (last["tdist"][..., :-1] + last["tdist"][..., 1:])
+        pts = (batch["origins"][:, None] +
+               t_mid[..., None] * batch["directions"][:, None])
+        pts_c = coord.contract(pts)  # [-2, 2]^3
+        return pts_c, last["weights"]
+
+    fn = jax.jit(chunk_fn)
+    grid = np.zeros((resolution,) * 3, bool)
+    s = scene_data
+    for v in range(s.num_views):
+        x, y = np.meshgrid(np.arange(0, s.width, pixel_stride),
+                           np.arange(0, s.height, pixel_stride))
+        x, y = x.reshape(-1), y.reshape(-1)
+        pixtocam = s.pixtocam if s.pixtocam.ndim == 2 else s.pixtocam[v]
+        rays = camlib.pixels_to_rays(x, y, pixtocam, s.camtoworlds[v])
+        n = x.shape[0]
+        rays["near"] = np.full((n, 1), s.near, np.float32)
+        rays["far"] = np.full((n, 1), s.far, np.float32)
+        n_pad = -(-n // chunk) * chunk
+        rays = {k: _pad_rows(np.asarray(val, np.float32), n_pad)
+                for k, val in rays.items()}
+        for i in range(0, n_pad, chunk):
+            b = {k: jnp.asarray(val[i:i + chunk]) for k, val in rays.items()}
+            pts_c, w = jax.device_get(fn(params, b))
+            pts = pts_c[w > weight_thresh]
+            if pts.size == 0:
+                continue
+            # Continuous voxel coords; mark the full trilinear footprint.
+            f = (pts + mesh_radius) / (2 * mesh_radius) * (resolution - 1)
+            lo = np.floor(f).astype(np.int64)
+            for corner in ((0, 0, 0), (0, 0, 1), (0, 1, 0), (0, 1, 1),
+                           (1, 0, 0), (1, 0, 1), (1, 1, 0), (1, 1, 1)):
+                q = np.clip(lo + corner, 0, resolution - 1)
+                grid[q[:, 0], q[:, 1], q[:, 2]] = True
+    return grid
+
+
+def _pad_rows(x: np.ndarray, n: int) -> np.ndarray:
+    if x.shape[0] == n:
+        return x
+    return np.concatenate(
+        [x, np.repeat(x[-1:], n - x.shape[0], axis=0)], axis=0)
+
+
+def auto_normals(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
+    """Area-weighted vertex normals (reference extract.py:163-186)."""
+    v0, v1, v2 = (verts[faces[:, i]] for i in range(3))
+    fn = np.cross(v1 - v0, v2 - v0)
+    n = np.zeros_like(verts)
+    for i in range(3):
+        np.add.at(n, faces[:, i], fn)
+    norm = np.linalg.norm(n, axis=-1, keepdims=True)
+    n = np.where(norm > 1e-20, n / np.maximum(norm, 1e-20),
+                 np.array([0.0, 0.0, 1.0]))
+    return n.astype(np.float32)
+
+
+def rgb_by_projection(model, params, verts: np.ndarray, faces: np.ndarray,
+                      chunk: int = 32768, eps: float = 0.005,
+                      seg_len: float = 0.01,
+                      num_samples: int = 8) -> np.ndarray:
+    """Projection-based vertex coloring (reference extract.py:108-160):
+    volume-render a tiny segment entering each vertex along -normal and
+    normalize by accumulated alpha. The reference reuses the full model
+    with near=0/far=0.01 and num_levels=1; here the equivalent short
+    segment is rendered directly through the NeRF MLP (same math, no
+    proposal levels needed over a 0.01-unit segment)."""
+    from .ops import render as render_ops
+
+    normals = auto_normals(verts, faces)
+    viewdirs = -normals
+    origins = (verts - eps * viewdirs).astype(np.float32)
+
+    def rgb_fn(p, o, d):
+        t = jnp.linspace(0.0, seg_len, num_samples + 1)
+        tdist = jnp.broadcast_to(t, (o.shape[0], num_samples + 1))
+        t_mid = 0.5 * (tdist[:, :-1] + tdist[:, 1:])
+        pts = o[:, None] + t_mid[..., None] * d[:, None]
+        means = pts[..., None, :]
+        stds = jnp.zeros(means.shape[:-1])
+        dirs = d
+        out = model.apply(p, means, stds, dirs,
+                          method=lambda m, mm, ss, vd:
+                          m.nerf_mlp(mm, ss, viewdirs=vd))
+        weights, _, _ = render_ops.compute_alpha_weights(
+            out["density"], tdist, d)
+        acc = weights.sum(-1)
+        rgb = (weights[..., None] * out["rgb"]).sum(-2)
+        rgb = rgb / jnp.maximum(acc[..., None], 1e-5)
+        return jnp.nan_to_num(jnp.clip(rgb, 0.0, 1.0), nan=1.0)
+
+    fn = jax.jit(rgb_fn)
+    n = verts.shape[0]
+    n_pad = -(-n // chunk) * chunk
+    o = _pad_rows(origins, n_pad)
+    d = _pad_rows(viewdirs.astype(np.float32), n_pad)
+    out = np.empty((n_pad, 3), np.float32)
+    for i in range(0, n_pad, chunk):
+        out[i:i + chunk] = np.asarray(
+            fn(params, jnp.asarray(o[i:i + chunk]),
+               jnp.asarray(d[i:i + chunk])))
+    return out[:n]
+
+
 def extract_mesh(model, params, resolution: int = 128,
                  isosurface_threshold: float = 20.0,
                  mesh_radius: float = 1.0, mesh_max_radius: float = 10.0,
                  vertex_color: bool = True,
+                 color_mode: str = "projection",
+                 visibility_grid: Optional[np.ndarray] = None,
                  out_path: Optional[str] = None):
-    """Full pipeline: density lattice -> marching tetrahedra in contracted
-    space -> inv_contract vertices -> optional vertex colors -> PLY.
+    """Full pipeline: density lattice -> visibility culling -> marching
+    tetrahedra in contracted space -> inv_contract vertices -> vertex
+    colors (projection or fixed-view) -> PLY.
 
+    visibility_grid: optional bool [Rv,Rv,Rv] over the same contracted
+    cube (build_visibility_grid); density outside it is zeroed before
+    meshing, killing the density-threshold shell artifacts
+    (reference extract.py:441-460 current_mask).
     Returns (verts_world [V,3], faces [F,3], colors [V,3] or None).
     """
     grid, _ = density_on_lattice(model, params, resolution, mesh_radius)
+    if visibility_grid is not None:
+        grid = grid * _sample_mask(visibility_grid, resolution)
     spacing = 2 * mesh_radius / (resolution - 1)
     verts_c, faces = marching.marching_tetrahedra(
         grid, isosurface_threshold,
@@ -119,8 +252,20 @@ def extract_mesh(model, params, resolution: int = 128,
     faces = faces[keep[faces].all(axis=1)]
     faces = remap[faces]
     verts_w = verts_w[keep]
-    colors = rgb_at_points(model, params, verts_w) if (
-        vertex_color and len(verts_w)) else None
+    colors = None
+    if vertex_color and len(verts_w):
+        if color_mode == "projection" and len(faces):
+            colors = rgb_by_projection(model, params, verts_w, faces)
+        else:
+            colors = rgb_at_points(model, params, verts_w)
     if out_path and len(verts_w):
         marching.write_ply(out_path, verts_w, faces, colors)
     return verts_w, faces, colors
+
+
+def _sample_mask(vis: np.ndarray, resolution: int) -> np.ndarray:
+    """Nearest-sample a bool visibility grid onto the density lattice."""
+    rv = vis.shape[0]
+    idx = np.clip(np.round(np.linspace(0, rv - 1, resolution)).astype(
+        np.int64), 0, rv - 1)
+    return vis[np.ix_(idx, idx, idx)].astype(np.float32)

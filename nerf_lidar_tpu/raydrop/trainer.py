@@ -35,11 +35,18 @@ class RayDropConfig:
     mask_loss: bool = True
     vgg: bool = True
     vgg_weight: float = 0.2
+    vgg_npz: Optional[str] = None  # converted torchvision VGG19 weights
+    # Darknet (rangenet) multi-scale feature loss
+    # (reference ray_drop_train.py:116-122 feature_loss knob).
+    darknet: bool = False
+    darknet_weight: float = 1.0
+    darknet_npz: Optional[str] = None  # converted rangenet backbone weights
     regression: bool = False
     roll: bool = True
     val_fraction: float = 0.2
     eval_every: int = 10
     early_stop: bool = True
+    early_stop_patience: int = 2  # non-improving evals before stopping
     gumbel_tau: float = 1.0
 
 
@@ -74,6 +81,16 @@ class RayDropTrainer:
                           regression=cfg.regression)
         self.vgg_model, self.vgg_params = vgg_lib.init_vgg(
             jax.random.PRNGKey(seed + 7))
+        if cfg.vgg_npz:
+            self.vgg_params = vgg_lib.load_torch_vgg19_npz(cfg.vgg_npz)
+        self.dk_model = self.dk_params = None
+        if cfg.darknet:
+            from . import darknet as dk_lib
+            self.dk_model, self.dk_params = dk_lib.init_darknet(
+                jax.random.PRNGKey(seed + 13))
+            if cfg.darknet_npz:
+                self.dk_params = dk_lib.load_torch_darknet_npz(
+                    cfg.darknet_npz)
         self.tx = optax.adam(cfg.lr)
         self._jit_train = jax.jit(self._train_step)
         self._jit_eval = jax.jit(self._eval_loss)
@@ -116,14 +133,22 @@ class RayDropTrainer:
                 logits, gt_mask.astype(jnp.int32)).mean()
             loss = loss + ce
             stats["ce"] = ce
-        if cfg.vgg and train:
+        if (cfg.vgg or cfg.darknet) and train:
             hard = gumbel_softmax_hard(key, logits, cfg.gumbel_tau, axis=-1)
             masked_range = img[..., 0] * hard[..., 1]
-            vloss = vgg_lib.vgg_loss_map(
-                self.vgg_model, self.vgg_params, masked_range,
-                gt_range).mean()
-            loss = loss + cfg.vgg_weight * vloss
-            stats["vgg"] = vloss
+            if cfg.vgg:
+                vloss = vgg_lib.vgg_loss_map(
+                    self.vgg_model, self.vgg_params, masked_range,
+                    gt_range).mean()
+                loss = loss + cfg.vgg_weight * vloss
+                stats["vgg"] = vloss
+            if cfg.darknet:
+                from . import darknet as dk_lib
+                dloss = dk_lib.feature_loss(
+                    self.dk_model, self.dk_params, img[..., 0], gt_range,
+                    hard[..., 1])
+                loss = loss + cfg.darknet_weight * dloss
+                stats["darknet"] = dloss
         stats["loss"] = loss
         return loss, (stats, new_bs)
 
@@ -145,11 +170,8 @@ class RayDropTrainer:
                              batch_stats=new_bs, opt_state=opt_state), stats
 
     def _eval_loss(self, state: RayDropState, img, gt_mask):
-        logits, _ = self._apply(state.params, state.batch_stats, img, False), \
-            None
-        logits = logits[0] if isinstance(logits, tuple) else logits
-        if self.cfg.regression:
-            logits = logits[0]
+        out, _ = self._apply(state.params, state.batch_stats, img, False)
+        logits = out[0] if self.cfg.regression else out
         return optax.softmax_cross_entropy_with_integer_labels(
             logits, gt_mask.astype(jnp.int32)).mean()
 
@@ -169,6 +191,7 @@ class RayDropTrainer:
         key = jax.random.PRNGKey(seed)
         state = self.init_state(key, images.shape[1], images.shape[2])
         best_val = np.inf
+        bad_evals = 0
         bs = cfg.batch_size
         for epoch in range(cfg.epochs + 1):
             rng.shuffle(train_idx)
@@ -199,8 +222,11 @@ class RayDropTrainer:
                 if cfg.early_stop:
                     if val < best_val:
                         best_val = val
+                        bad_evals = 0
                     else:
-                        break
+                        bad_evals += 1
+                        if bad_evals >= cfg.early_stop_patience:
+                            break
         if save_dir:
             self.save(save_dir, state, int(state.step))
         return state

@@ -74,3 +74,39 @@ def restore_checkpoint(directory_or_path: str, target: Any,
     with open(path, "rb") as f:
         state = flax.serialization.from_bytes(target, f.read())
     return state, checkpoint_step(path)
+
+
+def save_obj_mlp_params(params: Any, name: str, path: str) -> str:
+    """Serialize one obj-MLP subtree (e.g. 'obj_mlp_cls2') to a file.
+
+    The framework analog of the reference's per-class CarNeRF decoder
+    extraction (external/load_ckpt.py): per-class object fields trained in
+    one scene can be transplanted into another ("fusion" tracks,
+    reference models.py:154-160, configs.py:189).
+    """
+    p = params["params"] if "params" in params else params
+    sub = p[name]
+    with open(path, "wb") as f:
+        f.write(flax.serialization.to_bytes(jax.device_get(sub)))
+    return path
+
+
+def restore_obj_mlp_params(params: Any, name: str, path: str) -> Any:
+    """Return a params tree with subtree `name` replaced from `path`
+    (inverse of save_obj_mlp_params; structures must match)."""
+    import copy
+
+    top = "params" if "params" in params else None
+    p = params[top] if top else params
+    if name not in p:
+        raise KeyError(f"model has no obj MLP subtree '{name}'; "
+                       f"have {sorted(p.keys())}")
+    with open(path, "rb") as f:
+        sub = flax.serialization.from_bytes(p[name], f.read())
+    p = dict(p)
+    p[name] = sub
+    out = dict(params)
+    if top:
+        out[top] = p
+        return out
+    return p

@@ -1,0 +1,42 @@
+"""CLI-level units: the eval --follow checkpoint-polling daemon."""
+
+import os
+import threading
+import time
+
+from nerf_lidar_tpu.cli import follow_checkpoints
+import nerf_lidar_tpu.train.checkpoints  # noqa: F401  (pre-import: the
+# daemon lazily imports this; paying it here keeps the timing test honest)
+
+
+def _touch(d, step):
+    with open(os.path.join(d, f"checkpoint_{step}.ckpt"), "wb") as f:
+        f.write(b"x")
+
+
+def test_follow_checkpoints_evaluates_each_new_ckpt(tmp_path):
+    d = str(tmp_path)
+    seen = []
+
+    def writer():
+        for step in (10, 20, 30):
+            _touch(d, step)
+            time.sleep(0.5)
+
+    t = threading.Thread(target=writer)
+    t.start()
+    follow_checkpoints(d, seen.append, poll_every=0.05, timeout=5.0,
+                       stop_step=30)
+    t.join()
+    assert seen == [10, 20, 30]
+
+
+def test_follow_checkpoints_times_out_when_idle(tmp_path):
+    d = str(tmp_path)
+    _touch(d, 5)
+    seen = []
+    t0 = time.time()
+    follow_checkpoints(d, seen.append, poll_every=0.05, timeout=0.2,
+                       stop_step=100)
+    assert seen == [5]
+    assert time.time() - t0 < 3.0

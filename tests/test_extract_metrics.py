@@ -65,6 +65,59 @@ def test_chamfer_identity_and_offset():
     assert out2["chamfer"] > 0.01
 
 
+def test_visibility_grid_and_culling():
+    from nerf_lidar_tpu.data import synthetic
+    from nerf_lidar_tpu.extract import build_visibility_grid, extract_mesh
+    cfg = configs.tiny_debug().model
+    model = Model(cfg)
+    _, data, _ = synthetic.make_scene_data(num_views=2, height=16, width=24)
+    rng = np.random.RandomState(0)
+    d = rng.randn(8, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    batch = {k: jnp.asarray(v) for k, v in dict(
+        origins=np.zeros((8, 3), np.float32), directions=d, viewdirs=d,
+        base_x=d, base_y=d, radii=np.full((8, 1), 1e-3, np.float32),
+        near=np.full((8, 1), 0.2, np.float32),
+        far=np.full((8, 1), 6.0, np.float32)).items()}
+    params = model.init(jax.random.PRNGKey(0), None, batch)
+    vis = build_visibility_grid(model, params, data, resolution=16,
+                                weight_thresh=1e-4, pixel_stride=4,
+                                chunk=64)
+    assert vis.shape == (16, 16, 16) and vis.dtype == bool
+    assert vis.any(), "some voxels must be visible from the cameras"
+    assert not vis.all(), "visibility must cull something"
+    # An all-False grid must cull the whole mesh.
+    verts, faces, _ = extract_mesh(
+        model, params, resolution=16, isosurface_threshold=0.4,
+        vertex_color=False, visibility_grid=np.zeros((16,) * 3, bool))
+    assert len(verts) == 0
+
+
+def test_projection_vertex_coloring():
+    from nerf_lidar_tpu.extract import auto_normals, rgb_by_projection
+    cfg = configs.tiny_debug().model
+    model = Model(cfg)
+    rng = np.random.RandomState(0)
+    d = rng.randn(8, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    batch = {k: jnp.asarray(v) for k, v in dict(
+        origins=np.zeros((8, 3), np.float32), directions=d, viewdirs=d,
+        base_x=d, base_y=d, radii=np.full((8, 1), 1e-3, np.float32),
+        near=np.full((8, 1), 0.2, np.float32),
+        far=np.full((8, 1), 6.0, np.float32)).items()}
+    params = model.init(jax.random.PRNGKey(0), None, batch)
+    # A unit quad: two triangles in the z=0.5 plane.
+    verts = np.array([[0, 0, 0.5], [1, 0, 0.5], [1, 1, 0.5], [0, 1, 0.5]],
+                     np.float32)
+    faces = np.array([[0, 1, 2], [0, 2, 3]])
+    n = auto_normals(verts, faces)
+    np.testing.assert_allclose(np.abs(n[:, 2]), 1.0, atol=1e-5)
+    colors = rgb_by_projection(model, params, verts, faces, chunk=4)
+    assert colors.shape == (4, 3)
+    assert np.isfinite(colors).all()
+    assert colors.min() >= 0.0 and colors.max() <= 1.0
+
+
 def test_extract_mesh_from_tiny_model():
     from nerf_lidar_tpu.extract import extract_mesh
     cfg = configs.tiny_debug().model

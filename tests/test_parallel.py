@@ -20,3 +20,37 @@ def test_data_mesh_and_shardings():
     assert xs.addressable_shards[0].data.shape == (8, 1)
     assert xr.addressable_shards[0].data.shape == (64, 1)
     np.testing.assert_array_equal(np.asarray(xs), np.asarray(x))
+
+
+def test_chunk_renderer_mesh_matches_single_device():
+    """ChunkRenderer's sharded path must reproduce the single-device render
+    bit-for-bit (an 8-device sweep-render equivalence check)."""
+    import dataclasses
+
+    from nerf_lidar_tpu import configs
+    from nerf_lidar_tpu.models.model import Model
+    from nerf_lidar_tpu.renderer import ChunkRenderer
+
+    cfg = configs.tiny_debug()
+    model = Model(dataclasses.replace(cfg.model, instance_obj=False))
+    rng = np.random.RandomState(0)
+    n = 200  # not a multiple of chunk*devices: exercises padding
+    d = rng.randn(n, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = dict(
+        origins=np.zeros((n, 3), np.float32), directions=d, viewdirs=d,
+        base_x=d, base_y=d, radii=np.full((n, 1), 1e-3, np.float32),
+        near=np.full((n, 1), 0.2, np.float32),
+        far=np.full((n, 1), 6.0, np.float32))
+    batch0 = {k: jnp.asarray(v[:8]) for k, v in rays.items()}
+    params = model.init(jax.random.PRNGKey(0), None, batch0)
+
+    single = ChunkRenderer(model, cfg, chunk_size=64).render(params, rays)
+    mesh = data_mesh()
+    sharded = ChunkRenderer(model, cfg, chunk_size=64,
+                            mesh=mesh).render(params, rays)
+    assert set(single) == set(sharded)
+    for k in ("rgb", "depth"):
+        np.testing.assert_allclose(np.asarray(sharded[k]),
+                                   np.asarray(single[k]),
+                                   rtol=1e-5, atol=1e-6)

@@ -116,6 +116,40 @@ def test_raydrop_vgg_loss_path_runs():
     assert int(state.step) >= 1
 
 
+def test_raydrop_darknet_loss_path_runs():
+    rng = np.random.RandomState(0)
+    images = rng.rand(2, H, W, 6).astype(np.float32)
+    masks = (images[..., 0] > 0.5).astype(np.int32)
+    ranges = images[..., 0]
+    cfg = RayDropConfig(epochs=1, batch_size=2, vgg=False, darknet=True,
+                        darknet_weight=1.0, roll=False, early_stop=False,
+                        eval_every=100)
+    trainer = RayDropTrainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0), H, W)
+    _, stats = trainer._jit_train(
+        state, jnp.asarray(images), jnp.asarray(masks), jnp.asarray(ranges),
+        jax.random.PRNGKey(1))
+    assert "darknet" in stats and np.isfinite(float(stats["darknet"]))
+    assert float(stats["darknet"]) > 0
+
+
+def test_raydrop_early_stop_patience():
+    # With patience=2 a single non-improving eval must NOT stop training.
+    rng = np.random.RandomState(0)
+    images = rng.rand(4, H, W, 6).astype(np.float32)
+    masks = (images[..., 0] > 0.5).astype(np.int32)
+    ranges = images[..., 0]
+    cfg = RayDropConfig(epochs=6, batch_size=2, vgg=False, roll=False,
+                        eval_every=1, early_stop=True,
+                        early_stop_patience=2, val_fraction=0.25)
+    trainer = RayDropTrainer(cfg)
+    evals = []
+    state = trainer.fit(dict(images=images, masks=masks, ranges=ranges),
+                        log_fn=lambda m: evals.append(m))
+    # At least 2 eval rounds must have happened before any stop.
+    assert len(evals) >= 2
+
+
 def test_raydrop_checkpoint_roundtrip(tmp_path):
     cfg = RayDropConfig(epochs=0, vgg=False)
     trainer = RayDropTrainer(cfg)
