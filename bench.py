@@ -33,6 +33,8 @@ BASELINE_RAYS_PER_SEC = 60_000.0
 
 
 def main():
+    from nerf_lidar_tpu.utils import compile_cache
+    compile_cache.enable()
     from nerf_lidar_tpu import configs
     from nerf_lidar_tpu.data import synthetic
     from nerf_lidar_tpu.data.batching import RayBatcher

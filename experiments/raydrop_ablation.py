@@ -1,0 +1,132 @@
+"""Ray-drop perceptual-loss ablation on the sim->real mask task.
+
+VERDICT round-1 item 4: show CE/IoU for the U-Net drop-mask task with
+ (a) no perceptual loss, (b) VGG with random filters (round-1 default),
+ (c) VGG pretrained on range images (pretrain.py — the zero-egress
+     substitute for torchvision's ImageNet weights),
+ (d) random VGG + darknet multi-scale feature loss (reference
+     ray_drop_train.py:116-122).
+
+Task: sim sweeps are clean oracle traces of the nusc_scale scene; "real"
+sweeps are the scene's lidar_points/*.bin files, which carry genuine
+drops (range gating + misses). Writes exp/raydrop_ablation/results.json.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from nerf_lidar_tpu.utils import compile_cache
+
+compile_cache.enable()
+
+import jax  # noqa: E402
+
+from nerf_lidar_tpu.data import synth_nusc  # noqa: E402
+from nerf_lidar_tpu.lidar import sensor as sensorlib  # noqa: E402
+from nerf_lidar_tpu.raydrop import features as feat_lib  # noqa: E402
+from nerf_lidar_tpu.raydrop import pretrain  # noqa: E402
+from nerf_lidar_tpu.raydrop.trainer import RayDropConfig, RayDropTrainer  # noqa: E402
+
+SCENE = "exp/data/nusc_scale"
+OUT = "exp/raydrop_ablation"
+EPOCHS = 40
+
+
+def load_sweeps(n=16):
+    """(sim, real) sweep lists from the oracle scene + its .bin files."""
+    static = synth_nusc._corridor_scene(0)
+    dirs = sensorlib.beam_directions(
+        elevations_deg=sensorlib.NUSC_ELEVATIONS_DEG,
+        azimuths=sensorlib.azimuth_angles(1024))
+    sims, reals = [], []
+    ld = os.path.join(SCENE, "lidar_points")
+    l2g = np.load(os.path.join(ld, "lidar2global.npy"))
+    for i in range(n):
+        path = os.path.join(ld, f"{i:06d}.bin")
+        if not os.path.exists(path):
+            break
+        real = np.fromfile(path, np.float32).reshape(-1, 5)[:, :4]
+        origin = l2g[i, :3, 3]
+        t = 0.5 * i
+        scene_t = synth_nusc._scene_at(static, t, 1.3)
+        gt = scene_t.trace(np.broadcast_to(origin, dirs.shape), dirs)
+        keep = gt["hit"]
+        pts = dirs[keep] * gt["depth"][keep][:, None]
+        sims.append((pts.astype(np.float32),
+                     gt["semantic"][keep].astype(np.int32),
+                     np.clip(gt["rgb"][keep], 0, 1).astype(np.float32)))
+        reals.append(real)
+    return sims, reals
+
+
+def iou(pred_keep: np.ndarray, gt_keep: np.ndarray) -> float:
+    inter = float((pred_keep & gt_keep).sum())
+    union = float((pred_keep | gt_keep).sum())
+    return inter / max(union, 1.0)
+
+
+def run_condition(name, cfg, data, val_idx):
+    trainer = RayDropTrainer(cfg, seed=0)
+    logs = []
+    t0 = time.time()
+    state = trainer.fit(data, seed=0, log_fn=lambda s: logs.append(s))
+    dt = time.time() - t0
+    import jax.numpy as jnp
+    imgs = jnp.asarray(data["images"][val_idx])
+    prob = np.asarray(trainer.predict_prob(state, imgs))
+    gt = data["masks"][val_idx] == 1
+    sim_valid = data["images"][val_idx][..., 1] > 0  # sim mask channel
+    pred = (prob > 0.5) & sim_valid
+    ce = [float(trainer._jit_eval(state, imgs[i:i + 1],
+                                  jnp.asarray(data["masks"][val_idx][i:i + 1])))
+          for i in range(len(val_idx))]
+    res = {"val_ce": float(np.mean(ce)),
+           "val_iou": iou(pred, gt & sim_valid),
+           "train_s": round(dt, 1), "log": logs[-3:]}
+    print(f"{name:24s} ce={res['val_ce']:.4f} iou={res['val_iou']:.4f} "
+          f"({dt:.0f}s)")
+    return res
+
+
+def main():
+    os.makedirs(OUT, exist_ok=True)
+    sims, reals = load_sweeps()
+    data = feat_lib.build_training_set(sims, reals)
+    print("features:", data["images"].shape, "backend:",
+          jax.default_backend())
+    # Same split the trainer derives with seed=0.
+    n = data["images"].shape[0]
+    perm = np.random.RandomState(0).permutation(n)
+    val_idx = perm[: max(1, int(n * 0.2))]
+
+    vgg_npz = os.path.join(OUT, "vgg_range_pretrained.npz")
+    if not os.path.exists(vgg_npz):
+        t0 = time.time()
+        enc_params, hist = pretrain.pretrain_vgg(data["ranges"], steps=300)
+        pretrain.save_vgg_npz(vgg_npz, enc_params)
+        print(f"pretrained vgg in {time.time() - t0:.0f}s; loss {hist['loss']}")
+
+    base = dict(epochs=EPOCHS, eval_every=10, early_stop=False)
+    conds = {
+        "no_perceptual": RayDropConfig(vgg=False, **base),
+        "vgg_random": RayDropConfig(vgg=True, **base),
+        "vgg_pretrained": RayDropConfig(vgg=True, vgg_npz=vgg_npz, **base),
+        "vgg_random+darknet": RayDropConfig(vgg=True, darknet=True, **base),
+    }
+    results = {}
+    for name, cfg in conds.items():
+        results[name] = run_condition(name, cfg, data, val_idx)
+    with open(os.path.join(OUT, "results.json"), "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps({k: {kk: vv for kk, vv in v.items() if kk != "log"}
+                      for k, v in results.items()}, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -776,6 +776,10 @@ def cmd_raydrop_drop(args):
 
 
 def main(argv: Optional[List[str]] = None):
+    # Persistent XLA compile cache: resumed/chunked runs re-use compiled
+    # programs instead of paying the multi-minute remote TPU compile again.
+    from .utils import compile_cache
+    compile_cache.enable()
     p = argparse.ArgumentParser("nerf_lidar_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
 

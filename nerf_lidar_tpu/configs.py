@@ -125,6 +125,9 @@ class ModelConfig:
     remat: bool = True
     latent_size: int = 0
     symmetrize: bool = False
+    # RawNeRF learned exposure compensation (reference models.py:86-91,
+    # configs.py:48): per-capture rgb scaling offsets, anchored at idx 0.
+    learned_exposure_scaling: bool = False
     # Per-class obj MLPs (reference models.py:93-174 registers one
     # `obj_mlp_{class_id}` per object class + per-track latents): slot k of
     # the padded track tensor uses the MLP of class obj_class_ids[k].

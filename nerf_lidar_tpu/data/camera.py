@@ -25,12 +25,68 @@ def get_pixtocam(focal, width, height) -> np.ndarray:
             np.float32)
 
 
-def pixels_to_rays(pix_x_int, pix_y_int, pixtocams, camtoworlds):
-    """Pixel coords -> world rays (perspective pinhole).
+def undistort_points(xd: np.ndarray, yd: np.ndarray, k1=0.0, k2=0.0,
+                     k3=0.0, k4=0.0, p1=0.0, p2=0.0, eps: float = 1e-9,
+                     iters: int = 10) -> Tuple[np.ndarray, np.ndarray]:
+    """Invert the OpenCV radial(k1..k4)+tangential(p1,p2) distortion model.
+
+    Solves distort(x, y) = (xd, yd) by Newton iteration on the image plane
+    (reference camera_utils.py:379-445 semantics). Vectorized over any
+    shape; points where the Jacobian is singular keep their estimate.
+    """
+    x, y = xd.copy(), yd.copy()
+    for _ in range(iters):
+        r = x * x + y * y
+        d = 1.0 + r * (k1 + r * (k2 + r * (k3 + r * k4)))
+        fx = d * x + 2 * p1 * x * y + p2 * (r + 2 * x * x) - xd
+        fy = d * y + 2 * p2 * x * y + p1 * (r + 2 * y * y) - yd
+        d_r = k1 + r * (2 * k2 + r * (3 * k3 + r * 4 * k4))
+        fx_x = d + 2 * x * x * d_r + 2 * p1 * y + 6 * p2 * x
+        fx_y = 2 * x * y * d_r + 2 * p1 * x + 2 * p2 * y
+        fy_x = 2 * x * y * d_r + 2 * p2 * y + 2 * p1 * x
+        fy_y = d + 2 * y * y * d_r + 2 * p2 * x + 6 * p1 * y
+        det = fy_x * fx_y - fx_x * fy_y
+        safe = np.abs(det) > eps
+        inv = np.where(safe, det, 1.0)
+        x = x + np.where(safe, (fx * fy_y - fy * fx_y) / inv, 0.0)
+        y = y + np.where(safe, (fy * fx_x - fx * fy_x) / inv, 0.0)
+    return x, y
+
+
+def convert_to_ndc(origins: np.ndarray, directions: np.ndarray,
+                   pixtocam: np.ndarray, near: float = 1.0
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+    """Map forward-facing rays (dz < 0, OpenGL) into the NDC cube.
+
+    Shifts origins to the z = -near plane, then projects the t=0 and
+    t=inf points perspectively; directions_ndc spans near plane (ndc z=-1)
+    to far plane (ndc z=1). Reference camera_utils.py:10-74 / NeRF
+    appendix C semantics.
+    """
+    t = -(near + origins[..., 2]) / directions[..., 2]
+    origins = origins + t[..., None] * directions
+    dx, dy, dz = np.moveaxis(directions, -1, 0)
+    ox, oy, oz = np.moveaxis(origins, -1, 0)
+    xmult = 1.0 / pixtocam[0, 2]
+    ymult = 1.0 / pixtocam[1, 2]
+    origins_ndc = np.stack(
+        [xmult * ox / oz, ymult * oy / oz, -np.ones_like(oz)], axis=-1)
+    infinity_ndc = np.stack(
+        [xmult * dx / dz, ymult * dy / dz, np.ones_like(oz)], axis=-1)
+    return (origins_ndc.astype(np.float32),
+            (infinity_ndc - origins_ndc).astype(np.float32))
+
+
+def pixels_to_rays(pix_x_int, pix_y_int, pixtocams, camtoworlds,
+                   distortion_params: Optional[Dict[str, float]] = None,
+                   camtype: str = "perspective"):
+    """Pixel coords -> world rays (perspective pinhole or fisheye).
 
     pix_x_int/pix_y_int: int arrays of any shape SH; pixtocams broadcastable
     to SH + [3,3]; camtoworlds broadcastable to SH + [3,4] in OpenGL
-    convention (x right, y up, z backward).
+    convention (x right, y up, z backward). distortion_params: optional
+    k1..k4/p1/p2 dict, inverted with undistort_points. camtype
+    'fisheye' applies the equidistant model (plane radius = view angle).
 
     Returns dict with origins, directions, viewdirs, radii [SH,1], base_x,
     base_y (unit pixel-plane bases, camera_utils.py:540-548).
@@ -46,6 +102,22 @@ def pixels_to_rays(pix_x_int, pix_y_int, pixtocams, camtoworlds):
 
     mat_vec_mul = lambda A, b: np.matmul(A, b[..., None])[..., 0]
     camera_dirs_stacked = mat_vec_mul(pixtocams, pixel_dirs_stacked)
+    if distortion_params is not None:
+        x, y = undistort_points(camera_dirs_stacked[..., 0],
+                                camera_dirs_stacked[..., 1],
+                                **distortion_params)
+        camera_dirs_stacked = np.stack([x, y, np.ones_like(x)], axis=-1)
+    if camtype == "fisheye":
+        # Equidistant: the plane radius is the angle from the optical axis.
+        theta = np.minimum(np.pi, np.linalg.norm(
+            camera_dirs_stacked[..., :2], axis=-1))
+        sin_over_theta = np.sin(theta) / np.maximum(theta, 1e-12)
+        camera_dirs_stacked = np.stack([
+            camera_dirs_stacked[..., 0] * sin_over_theta,
+            camera_dirs_stacked[..., 1] * sin_over_theta,
+            np.cos(theta)], axis=-1)
+    elif camtype != "perspective":
+        raise ValueError(f"unknown camtype {camtype!r}")
     # OpenCV -> OpenGL.
     camera_dirs_stacked = camera_dirs_stacked @ np.diag(
         np.array([1.0, -1.0, -1.0], np.float32))

@@ -56,6 +56,12 @@ class Model(nn.Module):
             for i in range(len(c.num_prop_samples))]
         if c.num_glo_features > 0:
             self.glo_vecs = nn.Embed(c.num_glo_embeddings, c.num_glo_features)
+        if c.learned_exposure_scaling:
+            # RawNeRF learned per-capture exposure compensation (reference
+            # models.py:86-91): zero-init offsets from scaling = 1.
+            self.exposure_scaling_offsets = nn.Embed(
+                c.num_glo_embeddings, 3,
+                embedding_init=nn.initializers.zeros)
         if c.instance_obj and c.num_objects > 0:
             if c.obj_class_ids:
                 # One obj MLP per distinct object class; slot membership is
@@ -192,6 +198,19 @@ class Model(nn.Module):
                     ray_results, is_prop=is_prop,
                     sym=c.symmetrize and train and not is_prop,
                     class_groups=class_groups)
+
+            # RawNeRF exposure logic (reference models.py:500-512): scale
+            # colors by the capture exposure, plus a learned per-capture
+            # offset anchored at exposure_idx == 0.
+            if "exposure_values" in batch:
+                rgb = ray_results["rgb"] * batch["exposure_values"][..., None, :]
+                if c.learned_exposure_scaling and "exposure_idx" in batch:
+                    idx = batch["exposure_idx"][..., 0].astype(jnp.int32)
+                    mask = (idx > 0).astype(rgb.dtype)
+                    scaling = 1.0 + mask[..., None] * \
+                        self.exposure_scaling_offsets(idx)
+                    rgb = rgb * scaling[..., None, :]
+                ray_results["rgb"] = rgb
 
             weights, _, _ = render.compute_alpha_weights(
                 ray_results["density"], tdist, batch["directions"],

@@ -82,7 +82,14 @@ class RayDropTrainer:
         self.vgg_model, self.vgg_params = vgg_lib.init_vgg(
             jax.random.PRNGKey(seed + 7))
         if cfg.vgg_npz:
-            self.vgg_params = vgg_lib.load_torch_vgg19_npz(cfg.vgg_npz)
+            # Accept either the torch-converted layout (features.N.weight)
+            # or the flax layout written by pretrain.save_vgg_npz.
+            keys = np.load(cfg.vgg_npz).files
+            if any(k.startswith("features.") for k in keys):
+                self.vgg_params = vgg_lib.load_torch_vgg19_npz(cfg.vgg_npz)
+            else:
+                from . import pretrain
+                self.vgg_params = pretrain.load_vgg_npz(cfg.vgg_npz)
         self.dk_model = self.dk_params = None
         if cfg.darknet:
             from . import darknet as dk_lib

@@ -135,9 +135,10 @@ def anti_interlevel_loss(ray_history, config: Config):
         w_s = jnp.diff(cdf_interp, axis=-1)
         per = jnp.maximum(w_s - wp, 0) ** 2 / (wp + 1e-5)
         if "obj_mask" in ray_results:
-            keep = ~ray_results["obj_mask"].any(-1)
-            loss = _masked_mean(per, keep[..., None]
-                                & jnp.ones_like(per, bool))
+            # obj_mask: [R, S, N_obj] slot-intersection flags; exclude
+            # object-covered samples from the proposal-supervision mean.
+            keep = ~ray_results["obj_mask"].any(-1)  # [R, S]
+            loss = _masked_mean(per, keep)
         else:
             loss = per.mean()
         loss_total = loss_total + loss

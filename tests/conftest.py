@@ -16,3 +16,7 @@ import jax  # noqa: E402
 if not os.environ.get("NL_TEST_ON_TPU"):
     jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+from nerf_lidar_tpu.utils import compile_cache  # noqa: E402
+
+compile_cache.enable()

@@ -75,3 +75,57 @@ def test_color_correct_fixes_affine_shift():
     img = np.clip(ref * 0.7 + 0.1, 0, 1)
     fixed = np.asarray(imlib.color_correct(img, ref))
     assert np.abs(fixed - ref).mean() < np.abs(img - ref).mean() * 0.2
+
+
+def test_undistort_points_inverts_distortion():
+    """Newton undistort must invert the OpenCV radial+tangential forward
+    model to high precision for realistic coefficients."""
+    rng = np.random.RandomState(0)
+    x = rng.uniform(-0.6, 0.6, 512)
+    y = rng.uniform(-0.4, 0.4, 512)
+    k = dict(k1=-0.28, k2=0.07, k3=-0.005, k4=0.0, p1=1e-3, p2=-5e-4)
+    r = x * x + y * y
+    d = 1.0 + r * (k["k1"] + r * (k["k2"] + r * (k["k3"] + r * k["k4"])))
+    xd = d * x + 2 * k["p1"] * x * y + k["p2"] * (r + 2 * x * x)
+    yd = d * y + 2 * k["p2"] * x * y + k["p1"] * (r + 2 * y * y)
+    xu, yu = camera.undistort_points(xd, yd, **k)
+    np.testing.assert_allclose(xu, x, atol=1e-7)
+    np.testing.assert_allclose(yu, y, atol=1e-7)
+
+
+def test_convert_to_ndc_bounds_and_linearity():
+    """NDC rays: origins sit on the near plane (z=-1), origin+direction on
+    the far plane (z=+1), and on-axis points project inside the cube."""
+    h, w, focal = 48, 64, 50.0
+    pixtocam = camera.get_pixtocam(focal, w, h)
+    x, y = np.meshgrid(np.arange(w), np.arange(h))
+    rays = camera.pixels_to_rays(x, y, pixtocam, np.eye(4)[:3])
+    o, d = camera.convert_to_ndc(rays["origins"].reshape(-1, 3),
+                                 rays["directions"].reshape(-1, 3),
+                                 pixtocam, near=1.0)
+    np.testing.assert_allclose(o[:, 2], -1.0, atol=1e-6)
+    np.testing.assert_allclose((o + d)[:, 2], 1.0, atol=1e-6)
+    assert np.abs(o[:, :2]).max() <= 1.0 + 1e-5
+
+
+def test_fisheye_rays_equidistant_angles():
+    """Fisheye camtype: plane radius r maps to a ray at angle r from the
+    optical axis (equidistant model)."""
+    pixtocam = camera.get_pixtocam(100.0, 200, 200)
+    x = np.array([100, 130, 160, 190])
+    y = np.full_like(x, 100)
+    rays = camera.pixels_to_rays(x, y, pixtocam, np.eye(4)[:3],
+                                 camtype="fisheye")
+    # Optical axis is -z (OpenGL).
+    cos_angle = -rays["viewdirs"][:, 2]
+    plane_r = np.linalg.norm(
+        (np.stack([x + 0.5, y + 0.5, np.ones_like(x)], -1)
+         @ pixtocam.T)[:, :2], axis=-1)
+    np.testing.assert_allclose(np.arccos(cos_angle), plane_r, atol=1e-5)
+
+
+def test_pixels_to_rays_rejects_unknown_camtype():
+    pixtocam = camera.get_pixtocam(50.0, 64, 48)
+    with np.testing.assert_raises(ValueError):
+        camera.pixels_to_rays(np.zeros(1, int), np.zeros(1, int),
+                              pixtocam, np.eye(4)[:3], camtype="pinhole2")

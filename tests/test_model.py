@@ -110,3 +110,42 @@ def test_jit_forward_compiles_and_matches(tiny_model):
     out_eager = model.apply(params, None, batch)[0][-1]["rgb"]
     np.testing.assert_allclose(np.asarray(out_jit), np.asarray(out_eager),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_learned_exposure_scaling():
+    """RawNeRF exposure: exposure_values scale output colors; learned
+    offsets are zero-init (no-op) and anchored at exposure_idx == 0
+    (reference models.py:86-91,500-512)."""
+    import dataclasses
+    cfg = dataclasses.replace(configs.tiny_debug().model,
+                              learned_exposure_scaling=True,
+                              bg_intensity_range=(0.0, 0.0))
+    model = Model(cfg)
+    batch = _make_batch()
+    R = batch["origins"].shape[0]
+    batch["exposure_values"] = jnp.full((R, 3), 0.5)
+    batch["exposure_idx"] = jnp.ones((R, 1), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), None, batch)
+    assert "exposure_scaling_offsets" in str(jax.tree_util.tree_structure(
+        params))
+
+    rend_half, _ = model.apply(params, None, batch)
+    b2 = dict(batch, exposure_values=jnp.ones((R, 3)))
+    rend_full, _ = model.apply(params, None, b2)
+    # Zero-init offsets: halving exposure exactly halves the rgb.
+    np.testing.assert_allclose(np.asarray(rend_half[-1]["rgb"]),
+                               0.5 * np.asarray(rend_full[-1]["rgb"]),
+                               atol=1e-6)
+    # Nonzero offsets change idx>0 rays but not idx==0 rays.
+    params2 = jax.tree.map(lambda x: x, params)
+    flat = params2["params"]["exposure_scaling_offsets"]["embedding"]
+    flat = flat.at[1].set(jnp.asarray([0.5, 0.5, 0.5]))
+    params2["params"]["exposure_scaling_offsets"]["embedding"] = flat
+    rend_off, _ = model.apply(params2, None, batch)
+    assert np.abs(np.asarray(rend_off[-1]["rgb"])
+                  - np.asarray(rend_half[-1]["rgb"])).max() > 1e-4
+    b0 = dict(batch, exposure_idx=jnp.zeros((R, 1), jnp.int32))
+    r0a, _ = model.apply(params, None, b0)
+    r0b, _ = model.apply(params2, None, b0)
+    np.testing.assert_allclose(np.asarray(r0a[-1]["rgb"]),
+                               np.asarray(r0b[-1]["rgb"]), atol=1e-7)

@@ -177,3 +177,31 @@ def test_drop_sweep_and_export(tmp_path):
     arr = export_lib.read_bin(str(tmp_path / "velodyne" / "000000.bin"))
     lab = export_lib.read_label(str(tmp_path / "labels" / "000000.label"))
     assert arr.shape[1] == 4 and arr.shape[0] == lab.shape[0]
+
+
+def test_vgg_pretrain_roundtrip_and_learns(tmp_path):
+    """Masked-reconstruction pretraining must reduce its loss on toy range
+    images, and save/load must round-trip into vgg_loss_map unchanged."""
+    import jax.numpy as jnp
+    from nerf_lidar_tpu.raydrop import pretrain, vgg as vgg_lib
+
+    rng = np.random.RandomState(0)
+    imgs = np.repeat(np.sin(np.linspace(0, 6, 64))[None, None, :], 16, 1)
+    imgs = (imgs + rng.rand(6, 16, 64) * 0.05).astype(np.float32)
+    enc, hist = pretrain.pretrain_vgg(imgs, steps=60, batch_size=2)
+    losses = [l for _, l in hist["loss"]]
+    assert losses[-1] < losses[0], f"no learning: {losses}"
+
+    path = str(tmp_path / "vgg.npz")
+    pretrain.save_vgg_npz(path, enc)
+    loaded = pretrain.load_vgg_npz(path)
+    model = vgg_lib.Vgg19Features()
+    x = jnp.asarray(imgs[:2])
+    a = vgg_lib.vgg_loss_map(model, enc, x, x * 0.9)
+    b = vgg_lib.vgg_loss_map(model, loaded, x, x * 0.9)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    # Trainer accepts the flax-layout npz via RayDropConfig.vgg_npz.
+    t = RayDropTrainer(RayDropConfig(vgg=True, vgg_npz=path, epochs=1))
+    got = t.vgg_params["params"]["s0_c0"]["kernel"]
+    want = enc["params"]["s0_c0"]["kernel"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want))

@@ -131,3 +131,29 @@ def test_sharded_train_step_on_8_devices():
     state1, stats1 = step_fn_1(state, batch, jax.random.PRNGKey(4), None, None)
     np.testing.assert_allclose(float(stats["loss"]), float(stats1["loss"]),
                                rtol=1e-4)
+
+
+def test_anti_interlevel_loss_with_obj_mask():
+    """Regression: obj_mask is [R, S, N_obj]; the object-sample exclusion
+    must reduce it to a [R, S] keep mask matching `per` (a rank mismatch
+    here crashed the first at-scale run with dynamic objects on)."""
+    rng = np.random.RandomState(3)
+    cfg = configs.tiny_debug()
+    R, S_prop, S_nerf, K = 16, 12, 8, 3
+
+    def level(S, with_mask):
+        s = np.sort(rng.rand(R, S + 1).astype(np.float32), axis=-1)
+        w = rng.rand(R, S).astype(np.float32) * 0.1
+        out = {"sdist": jnp.asarray(s), "weights": jnp.asarray(w)}
+        if with_mask:
+            out["obj_mask"] = jnp.asarray(rng.rand(R, S, K) > 0.7)
+        return out
+
+    hist = [level(S_prop, True), level(S_nerf, False)]
+    loss = losses_lib.anti_interlevel_loss(hist, cfg)
+    assert np.isfinite(float(loss))
+    # Fully-masked prop level contributes zero over object samples: forcing
+    # all samples masked must not NaN and must change the loss.
+    hist[0]["obj_mask"] = jnp.ones((R, S_prop, K), bool)
+    loss_all = losses_lib.anti_interlevel_loss(hist, cfg)
+    assert np.isfinite(float(loss_all))
