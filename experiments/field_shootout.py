@@ -1,0 +1,93 @@
+"""Field shootout: hash fast config vs matmul-resident (dense+Fourier).
+
+Trains each field on the synthetic oracle scene (the round-1 Pareto
+harness: 400 steps, batch 2048, 4 views at 64x96) and reports train PSNR
+plus steady-state rays/s, timed by chain-dependent value fetches (this
+backend's block_until_ready returns early; see BASELINE.md).
+
+Writes exp/field_shootout/results.json.
+"""
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from nerf_lidar_tpu.utils import compile_cache
+
+compile_cache.enable()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from nerf_lidar_tpu import configs  # noqa: E402
+from nerf_lidar_tpu.data import synthetic  # noqa: E402
+from nerf_lidar_tpu.data.batching import RayBatcher  # noqa: E402
+from nerf_lidar_tpu.models.model import Model  # noqa: E402
+from nerf_lidar_tpu.train import train_step  # noqa: E402
+
+STEPS = 400
+BATCH = 2048
+OUT = "exp/field_shootout"
+
+
+def run(name: str, cfg: configs.Config) -> dict:
+    mcfg = dataclasses.replace(cfg.model, instance_obj=False)
+    cfg = dataclasses.replace(cfg, model=mcfg, batch_size=BATCH,
+                              patch_size=1, lidar_supervision=False,
+                              pose_refine=False, track_refine=False)
+    _, data, _ = synthetic.make_scene_data(num_views=4, height=64, width=96,
+                                           focal=64.0, far=cfg.far,
+                                           with_lidar=False)
+    batcher = RayBatcher(data, cfg.batch_size, 1, seed=0)
+    model = Model(cfg.model)
+    batches = [jax.tree.map(jnp.asarray, batcher.next()) for _ in range(8)]
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), None, batches[0])
+    n_params = sum(int(np.prod(l.shape)) for l in jax.tree.leaves(params))
+    state, tx = train_step.create_train_state(cfg, params)
+    step_fn = train_step.make_train_step(model, tx, cfg)
+
+    key = jax.random.PRNGKey(1)
+    psnr = None
+    t0 = None
+    timed_steps = 0
+    for i in range(STEPS):
+        key, sub = jax.random.split(key)
+        state, stats = step_fn(state, batches[i % 8], sub, None, None)
+        if i == 99:
+            # Fetch -> everything up to here done; start the clock.
+            float(jax.device_get(stats["loss"]))
+            t0 = time.perf_counter()
+            timed_steps = 0
+        elif i > 99:
+            timed_steps += 1
+    psnr = float(jax.device_get(stats["psnr"]))
+    dt = time.perf_counter() - t0
+    rays_s = BATCH * timed_steps / dt
+    res = {"psnr_400": round(psnr, 2), "rays_per_sec": round(rays_s, 1),
+           "params": n_params, "steps_timed": timed_steps}
+    print(f"{name:10s} psnr@400={psnr:.2f} rays/s={rays_s:,.0f} "
+          f"params={n_params/1e6:.1f}M")
+    return res
+
+
+def main():
+    os.makedirs(OUT, exist_ok=True)
+    path = os.path.join(OUT, "results.json")
+    results = json.load(open(path)) if os.path.exists(path) else {}
+    todo = sys.argv[1:] or ["fast", "mxu"]
+    for name, make in [("fast", configs.nuscenes_single_fast),
+                       ("mxu", configs.nuscenes_single_mxu)]:
+        if name in todo:
+            results[name] = run(name, make())
+            with open(path, "w") as f:
+                json.dump(results, f, indent=2)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

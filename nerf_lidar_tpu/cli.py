@@ -70,6 +70,7 @@ def build_config(args) -> configs.Config:
         "nuscenes_single_fast": configs.nuscenes_single_fast,
         "nuscenes_multi": configs.nuscenes_multi,
         "nuscenes_multi_fast": configs.nuscenes_multi_fast,
+        "nuscenes_single_mxu": configs.nuscenes_single_mxu,
         "tiny_debug": configs.tiny_debug,
         "default": configs.Config,
     }[args.config]()
@@ -787,6 +788,7 @@ def main(argv: Optional[List[str]] = None):
         sp.add_argument("--config", default="nuscenes_single",
                         choices=["nuscenes_single", "nuscenes_single_fast",
                                  "nuscenes_multi", "nuscenes_multi_fast",
+                                 "nuscenes_single_mxu",
                                  "tiny_debug", "default"])
         sp.add_argument("--data_dir", default=None)
         sp.add_argument("--exp_name", default=None)

@@ -32,6 +32,14 @@ class GridConfig:
     # only, and positions/stds get ZERO gradients (requires pose_refine off;
     # see ops/grid.py). True = reference-exact autodiff.
     diff_inputs: bool = True
+    # 'hash' = multiresolution hash grid (reference gridencoder).
+    # 'dense_fourier' = matmul-resident field: dense tiled grid up to
+    # fourier_dense_res + IPE-damped random Fourier features spanning
+    # [fourier_dense_res, desired_resolution] (ops/fourier.py) — no hashed
+    # tables, no gather/scatter on the high-res band.
+    encoder: str = "hash"
+    fourier_freqs: int = 128
+    fourier_dense_res: int = 32
 
     @property
     def num_levels(self) -> int:
@@ -345,6 +353,41 @@ def fast_variant(base: Config) -> Config:
         obj_mlp=dataclasses.replace(base.model.obj_mlp, grid=obj_grid),
     )
     return dataclasses.replace(base, model=model)
+
+
+def mxu_variant(base: Config) -> Config:
+    """Matmul-resident field: dense tiled band + IPE-damped Fourier features.
+
+    Replaces every hashed table with MXU work (ops/fourier.py): the dense
+    band stays below the measured v5e gather cliff (<= 2^17 rows, so dense
+    res <= 48), and the [48, 8192] band rides random Fourier features with
+    analytic anti-aliasing. Prototype of the gather-free TPU field
+    (ROADMAP round-2 item 1); quality/throughput measured in
+    experiments/field_shootout.py.
+    """
+    nerf_grid = GridConfig(level_dim=16, base_resolution=16,
+                           desired_resolution=8192, level_interval=2,
+                           interp="tetra", diff_inputs=False,
+                           encoder="dense_fourier", fourier_freqs=256,
+                           fourier_dense_res=48)
+    prop_grid = GridConfig(level_dim=4, base_resolution=16,
+                           desired_resolution=512, level_interval=2,
+                           interp="tetra", diff_inputs=False,
+                           encoder="dense_fourier", fourier_freqs=96,
+                           fourier_dense_res=48)
+    model = dataclasses.replace(
+        base.model,
+        nerf_mlp=dataclasses.replace(base.model.nerf_mlp, grid=nerf_grid,
+                                     ms_coarse_res_cutoff=1024),
+        prop_mlp=dataclasses.replace(base.model.prop_mlp, grid=prop_grid,
+                                     ms_coarse_res_cutoff=1024),
+    )
+    return dataclasses.replace(base, model=model)
+
+
+def nuscenes_single_mxu() -> Config:
+    """nuscenes_single recipe on the matmul-resident field."""
+    return mxu_variant(nuscenes_single())
 
 
 def tiny_debug() -> Config:

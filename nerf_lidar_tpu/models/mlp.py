@@ -28,6 +28,7 @@ import numpy as np
 
 from ..configs import MLPConfig
 from ..ops import coord, ref_utils
+from ..ops import fourier as fourierlib
 from ..ops import grid as gridlib
 
 
@@ -47,20 +48,25 @@ class ZipMLP(nn.Module):
 
     def setup(self):
         c = self.cfg
-        self.spec = gridlib.HashGridSpec(
-            num_levels=c.grid.num_levels,
-            level_dim=c.grid.level_dim,
-            base_resolution=c.grid.base_resolution,
-            desired_resolution=c.grid.desired_resolution,
-            log2_hashmap_size=c.grid.log2_hashmap_size,
-            interp=c.grid.interp,
-            diff_inputs=c.grid.diff_inputs)
+        # 'dense_fourier': the grid keeps only the dense tiled band (rows
+        # below the v5e gather cliff); the hashed high-res band becomes
+        # MXU-resident Fourier features (ops/fourier.py).
+        spectral = c.grid.encoder == "dense_fourier"
+        self.spec = gridlib.spec_for(c.grid)
         self.table = self.param(
             "table",
             lambda key: self.spec.init_table(key, std=1e-4))
         self._grid_sizes = jnp.asarray(self.spec.grid_sizes())
+        self._fourier_B = None
+        if spectral:
+            self._fourier_B = fourierlib.make_frequency_matrix(
+                7, c.grid.fourier_freqs,
+                float(self.spec.desired_resolution),
+                float(c.grid.desired_resolution))
 
         last_dim = self.spec.output_dim
+        if spectral:
+            last_dim += 2 * c.grid.fourier_freqs
         if c.scale_featurization:
             last_dim += self.spec.num_levels
         if c.latent_size > 0:
@@ -150,6 +156,11 @@ class ZipMLP(nn.Module):
             raw = gridlib.hash_encode(self.table, x01, self.spec)
             feats = raw.mean(axis=-2)
             weights = jnp.ones(stds.shape + (self.spec.num_levels,))
+        if self._fourier_B is not None:
+            feats = jnp.concatenate(
+                [feats, fourierlib.fourier_encode(x01, stds,
+                                                  self._fourier_B)],
+                axis=-1)
         if c.scale_featurization:
             # Mean squared embedding per level, detached
             # (reference models.py:980-989).

@@ -139,6 +139,35 @@ class HashGridSpec:
 _CORNERS3 = [[(c >> d) & 1 for d in range(3)] for c in range(8)]
 
 
+def spec_for(grid_cfg) -> HashGridSpec:
+    """The effective table spec for a GridConfig — THE single derivation
+    shared by the MLP (table creation/encode) and the losses (level
+    segmentation), so they cannot disagree.
+
+    encoder='dense_fourier' keeps only the dense tiled band: levels up to
+    fourier_dense_res, with the hashmap sized to hold the finest corner
+    lattice so nothing silently hashes (the high-res band lives in
+    ops/fourier.py features, not in the table).
+    """
+    spectral = getattr(grid_cfg, "encoder", "hash") == "dense_fourier"
+    desired = (min(grid_cfg.fourier_dense_res, grid_cfg.desired_resolution)
+               if spectral else grid_cfg.desired_resolution)
+    if spectral:
+        num_levels = int(np.log(desired / grid_cfg.base_resolution)
+                         / np.log(grid_cfg.level_interval)) + 1
+        log2 = max(grid_cfg.log2_hashmap_size,
+                   int(np.ceil(np.log2((desired + 2) ** 3))))
+    else:
+        num_levels = grid_cfg.num_levels
+        log2 = grid_cfg.log2_hashmap_size
+    return HashGridSpec(
+        num_levels=num_levels, level_dim=grid_cfg.level_dim,
+        base_resolution=grid_cfg.base_resolution,
+        desired_resolution=desired, log2_hashmap_size=log2,
+        interp=grid_cfg.interp,
+        diff_inputs=grid_cfg.diff_inputs)
+
+
 def _corner_index(spec: HashGridSpec, level: int, cx, cy, cz) -> jax.Array:
     """Row index within `level` for integer corner coords (each [N])."""
     rows = spec.rows_per_level[level]
@@ -230,6 +259,41 @@ def _encode_levels(table: jax.Array, xT: jax.Array, oob: jax.Array,
     return outs
 
 
+# Row count below which the one-hot-matmul scatter beats XLA's native
+# scatter on v5e (experiments/scatter_variants.py: ~166M vs ~113M idx/s at
+# 4096 rows / 4M indices; the one-hot cost scales linearly in rows, so the
+# crossover sits around 8k rows).
+_ONEHOT_SCATTER_MAX_ROWS = 8192
+
+
+def _onehot_scatter_add(idx: jax.Array, vals: jax.Array, rows: int,
+                        block: int = 2048) -> jax.Array:
+    """MXU-resident scatter-add: accumulate one_hot(idx)^T @ vals blockwise.
+
+    Converts the index-rate-bound scatter into matmuls (XLA keeps the
+    [block, rows] one-hot fused on-chip inside the scan). Only sensible for
+    small `rows`; deterministic like the native scatter. Out-of-range pad
+    indices one-hot to all-zero rows, so tail padding is free.
+    """
+    n, c = vals.shape
+    pad = (-n) % block
+    if pad:
+        idx = jnp.concatenate([idx, jnp.full((pad,), rows, idx.dtype)])
+        vals = jnp.concatenate([vals, jnp.zeros((pad, c), vals.dtype)])
+    idxb = idx.reshape(-1, block)
+    valsb = vals.reshape(-1, block, c)
+
+    def body(acc, inp):
+        i, v = inp
+        oh = jax.nn.one_hot(i, rows, dtype=v.dtype)  # [block, rows]
+        return acc + jnp.einsum("br,bc->rc", oh, v,
+                                preferred_element_type=jnp.float32), None
+
+    acc0 = jnp.zeros((rows, c), jnp.float32)
+    acc, _ = jax.lax.scan(body, acc0, (idxb, valsb))
+    return acc.astype(vals.dtype)
+
+
 def _scatter_level_grad(spec: HashGridSpec, level: int, xT: jax.Array,
                         vals: jax.Array) -> jax.Array:
     """Table gradient for one level: d_table_l[r] += w_corner * vals[n].
@@ -238,11 +302,14 @@ def _scatter_level_grad(spec: HashGridSpec, level: int, xT: jax.Array,
     and erf/mean-weighted). Returns [rows_l, C]. All corners are concatenated
     into ONE deterministic scatter-add (XLA pipelines a single big scatter
     better than K chained ones; measured ~55M idx/s at <=2^17 rows on v5e).
+    Small (tiled) levels use the one-hot MXU scatter instead.
     """
     corners = _corner_list(spec, level, xT)
     all_idx = jnp.concatenate([idx for idx, _ in corners])
     all_vals = jnp.concatenate([w[:, None] * vals for _, w in corners])
     rows = spec.rows_per_level[level]
+    if rows <= _ONEHOT_SCATTER_MAX_ROWS:
+        return _onehot_scatter_add(all_idx, all_vals, rows)
     return jnp.zeros((rows, spec.level_dim),
                      vals.dtype).at[all_idx].add(all_vals)
 

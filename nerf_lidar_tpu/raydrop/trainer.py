@@ -39,7 +39,7 @@ class RayDropConfig:
     # Darknet (rangenet) multi-scale feature loss
     # (reference ray_drop_train.py:116-122 feature_loss knob).
     darknet: bool = False
-    darknet_weight: float = 1.0
+    darknet_weight: float = 0.5  # reference ray_drop_train.py:23
     darknet_npz: Optional[str] = None  # converted rangenet backbone weights
     regression: bool = False
     roll: bool = True

@@ -204,11 +204,8 @@ def hash_decay_loss(params, config: Config):
     p = params["params"] if "params" in params else params
 
     def one(table, grid_cfg):
-        spec = gridlib.HashGridSpec(
-            num_levels=grid_cfg.num_levels, level_dim=grid_cfg.level_dim,
-            base_resolution=grid_cfg.base_resolution,
-            desired_resolution=grid_cfg.desired_resolution,
-            log2_hashmap_size=grid_cfg.log2_hashmap_size)
+        # spec_for handles encoder='dense_fourier' (dense-band-only table).
+        spec = gridlib.spec_for(grid_cfg)
         seg = jnp.asarray(spec.level_ids())
         sums = jax.ops.segment_sum(table**2, seg,
                                    num_segments=spec.num_levels)

@@ -276,3 +276,63 @@ def test_nodiff_zero_input_grads():
     gx, gs = jax.grad(loss, argnums=(0, 1))(x, stds)
     assert np.abs(np.asarray(gx)).max() == 0.0
     assert np.abs(np.asarray(gs)).max() == 0.0
+
+
+def test_fourier_encode_ipe_damping():
+    """IPE identity: the encoded feature equals the Monte-Carlo expectation
+    of sin/cos under the per-sample Gaussian, and large stds kill high
+    frequencies (ops/fourier.py)."""
+    import jax
+    from nerf_lidar_tpu.ops import fourier
+
+    B = fourier.make_frequency_matrix(0, 16, 4.0, 64.0)
+    rng = np.random.RandomState(0)
+    x = rng.rand(5, 1, 3).astype(np.float32)
+    sigma = np.float32(0.03)
+    feats = fourier.fourier_encode(
+        jnp.asarray(x), jnp.full((5, 1), sigma), B)
+    # Monte-Carlo oracle.
+    samples = x[:, :, None, :] + sigma * rng.randn(5, 1, 40000, 3)
+    phase = 2 * np.pi * (samples @ np.asarray(B))
+    mc = np.concatenate([np.sin(phase).mean(2), np.cos(phase).mean(2)],
+                        -1)[:, 0]
+    np.testing.assert_allclose(np.asarray(feats), mc, atol=0.02)
+    # Huge std -> features vanish (band-limit property).
+    big = fourier.fourier_encode(jnp.asarray(x), jnp.full((5, 1), 2.0), B)
+    assert np.abs(np.asarray(big)).max() < 1e-4
+
+
+def test_dense_fourier_mlp_trains_and_has_no_hashed_tables():
+    """encoder='dense_fourier': the table keeps only tiled rows (below the
+    gather cliff), features include the spectral band, and a jitted
+    grad step runs."""
+    import dataclasses
+    import jax
+    from nerf_lidar_tpu import configs
+    from nerf_lidar_tpu.models.mlp import ZipMLP
+
+    g = configs.GridConfig(level_dim=2, base_resolution=8,
+                           desired_resolution=256, level_interval=2,
+                           log2_hashmap_size=12, encoder="dense_fourier",
+                           fourier_freqs=32, fourier_dense_res=16)
+    cfg = dataclasses.replace(configs.tiny_debug().model.nerf_mlp, grid=g,
+                              use_semantic=False)
+    mlp = ZipMLP(cfg)
+    means = jnp.asarray(np.random.RandomState(0).rand(64, 4, 3) * 0.5)
+    stds = jnp.full((64, 4), 0.01)
+    params = mlp.init(jax.random.PRNGKey(0), means, stds)
+    # Dense band only, direct-indexed: the (res+1)^3 corner lattices for
+    # res 8 and 16, each padded to a multiple of 8 — the hashmap-size knob
+    # must NOT silently hash the dense band.
+    pad8 = lambda n: -(-n // 8) * 8
+    assert params["params"]["table"].shape[0] == pad8(9**3) + pad8(17**3)
+
+    def loss(p):
+        out = mlp.apply(p, means, stds)
+        return (out["density"] ** 2).mean()
+
+    g1 = jax.jit(jax.grad(loss))(params)
+    leaves = jax.tree.leaves(g1)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert float(np.abs(np.asarray(
+        g1["params"]["table"])).max()) > 0.0
