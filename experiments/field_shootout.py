@@ -35,7 +35,7 @@ BATCH = 2048
 OUT = "exp/field_shootout"
 
 
-def run(name: str, cfg: configs.Config) -> dict:
+def run(name: str, cfg: configs.Config, steps: int = STEPS) -> dict:
     mcfg = dataclasses.replace(cfg.model, instance_obj=False)
     cfg = dataclasses.replace(cfg, model=mcfg, batch_size=BATCH,
                               patch_size=1, lidar_supervision=False,
@@ -55,7 +55,7 @@ def run(name: str, cfg: configs.Config) -> dict:
     psnr = None
     t0 = None
     timed_steps = 0
-    for i in range(STEPS):
+    for i in range(steps):
         key, sub = jax.random.split(key)
         state, stats = step_fn(state, batches[i % 8], sub, None, None)
         if i == 99:
@@ -68,7 +68,7 @@ def run(name: str, cfg: configs.Config) -> dict:
     psnr = float(jax.device_get(stats["psnr"]))
     dt = time.perf_counter() - t0
     rays_s = BATCH * timed_steps / dt
-    res = {"psnr_400": round(psnr, 2), "rays_per_sec": round(rays_s, 1),
+    res = {"steps": steps, "psnr_400": round(psnr, 2), "rays_per_sec": round(rays_s, 1),
            "params": n_params, "steps_timed": timed_steps}
     print(f"{name:10s} psnr@400={psnr:.2f} rays/s={rays_s:,.0f} "
           f"params={n_params/1e6:.1f}M")
@@ -79,11 +79,32 @@ def main():
     os.makedirs(OUT, exist_ok=True)
     path = os.path.join(OUT, "results.json")
     results = json.load(open(path)) if os.path.exists(path) else {}
+    def mxu_big():
+        """Capacity-bumped spectral variant: MXU capacity is nearly free,
+        so widen the trunk and the frequency bank to chase the hash
+        field's equal-step quality."""
+        cfg = configs.nuscenes_single_mxu()
+        m = cfg.model
+        nerf = dataclasses.replace(
+            m.nerf_mlp, complex_decoder=True,
+            grid=dataclasses.replace(m.nerf_mlp.grid, fourier_freqs=512,
+                                     level_dim=32))
+        prop = dataclasses.replace(
+            m.prop_mlp,
+            grid=dataclasses.replace(m.prop_mlp.grid, fourier_freqs=192))
+        return dataclasses.replace(
+            cfg, model=dataclasses.replace(m, nerf_mlp=nerf, prop_mlp=prop))
+
     todo = sys.argv[1:] or ["fast", "mxu"]
-    for name, make in [("fast", configs.nuscenes_single_fast),
-                       ("mxu", configs.nuscenes_single_mxu)]:
+    # mxu_ewc: equal WALL CLOCK with fast's 400 steps — the spectral field
+    # steps ~3.2x faster, so it gets ~3.2x the steps in the same budget.
+    for name, make, steps in [
+            ("fast", configs.nuscenes_single_fast, STEPS),
+            ("mxu", configs.nuscenes_single_mxu, STEPS),
+            ("mxu_big", mxu_big, STEPS),
+            ("mxu_ewc", configs.nuscenes_single_mxu, 1265)]:
         if name in todo:
-            results[name] = run(name, make())
+            results[name] = run(name, make(), steps)
             with open(path, "w") as f:
                 json.dump(results, f, indent=2)
     print(json.dumps(results))

@@ -49,7 +49,7 @@ def _smooth_noise(rng, h, w, scale=8):
     for ax in (0, 1):
         z = np.apply_along_axis(
             lambda v: np.convolve(v, k, mode="same"), ax, z)
-    z = (z - z.min()) / max(z.ptp(), 1e-9)
+    z = (z - z.min()) / max(float(np.ptp(z)), 1e-9)
     return z
 
 
@@ -90,8 +90,10 @@ def load_sweeps(n=16):
                      gt["semantic"].reshape(-1).astype(np.int32),
                      np.clip(gt["rgb"].reshape(-1, 3), 0, 1)
                      .astype(np.float32)))
-        keep = (stochastic_drops(rng, depth, gt["semantic"],
-                                 gt["intensity"], dirs)
+        grid = lambda a: np.asarray(a).reshape(32, -1, *a.shape[1:])
+        keep = (stochastic_drops(rng, grid(depth), grid(gt["semantic"]),
+                                 grid(gt["intensity"]), grid(dirs))
+                .reshape(-1)
                 & gt["hit"] & (depth > 2.0) & (depth < 90.0))
         real = (pts[keep]
                 + 0.02 * rng.randn(int(keep.sum()), 3)).astype(np.float32)
@@ -152,10 +154,20 @@ def main():
         "vgg_random": RayDropConfig(vgg=True, **base),
         "vgg_pretrained": RayDropConfig(vgg=True, vgg_npz=vgg_npz, **base),
         "vgg_random+darknet": RayDropConfig(vgg=True, darknet=True, **base),
+        # The reference's 0.5 weight assumes a pretrained rangenet
+        # backbone; with random darknet features a lower weight is the
+        # fair comparison.
+        "vgg+darknet_w0.1": RayDropConfig(vgg=True, darknet=True,
+                                          darknet_weight=0.1, **base),
     }
-    results = {}
+    path = os.path.join(OUT, "results.json")
+    results = json.load(open(path)) if os.path.exists(path) else {}
     for name, cfg in conds.items():
+        if name in results:
+            continue
         results[name] = run_condition(name, cfg, data, val_idx)
+        with open(path, "w") as f:
+            json.dump(results, f, indent=2)
     with open(os.path.join(OUT, "results.json"), "w") as f:
         json.dump(results, f, indent=2)
     print(json.dumps({k: {kk: vv for kk, vv in v.items() if kk != "log"}
