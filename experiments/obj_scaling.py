@@ -36,8 +36,14 @@ STEPS = 30
 
 def run(n_obj: int) -> dict:
     cfg = configs.tiny_debug()
-    mcfg = dataclasses.replace(cfg.model, instance_obj=n_obj > 0,
-                               num_objects=n_obj, latent_size=8)
+    obj_grid = configs.GridConfig(level_dim=2, base_resolution=4,
+                                  desired_resolution=16,
+                                  log2_hashmap_size=8)
+    mcfg = dataclasses.replace(
+        cfg.model, instance_obj=n_obj > 0, num_objects=n_obj, latent_size=8,
+        obj_mlp=dataclasses.replace(cfg.model.obj_mlp, grid=obj_grid,
+                                    latent_size=8, class_num=5,
+                                    class_type=3))
     cfg = dataclasses.replace(cfg, model=mcfg, batch_size=BATCH,
                               patch_size=1, lidar_supervision=False,
                               pose_refine=False, track_refine=False)

@@ -273,8 +273,11 @@ def _eval_obj_mlp(obj_mlp, obj_latents, pts_o, dirs_o):
     stds = jnp.zeros(p.shape[:-1])
     lat = None
     if obj_latents is not None:
-        lat = jnp.broadcast_to(obj_latents[None, None],
-                               (R, S) + obj_latents.shape)
+        if obj_latents.ndim == 2:  # [N_obj, Z]: all slots
+            lat = jnp.broadcast_to(obj_latents[None, None],
+                                   (R, S) + obj_latents.shape)
+        else:  # [R, S, Z]: per-sample winner latent (N == 1)
+            lat = obj_latents[:, :, None]
         lat = lat.reshape(R, S * N, -1)
     out = obj_mlp(p, stds, viewdirs=dirs_o.reshape(R, S * N, 3), latent=lat)
     return {k: (v.reshape((R, S, N) + v.shape[2:])
@@ -335,12 +338,32 @@ def composite_objects(obj_mlp, obj_latents: Optional[jax.Array],
         inter = inter & track_mask[None, None, :]
     n_obj = inter.shape[-1]
 
-    def eval_all(p, d):
-        if class_groups is not None:
-            return _eval_obj_mlp_grouped(class_groups, obj_latents, p, d)
-        return _eval_obj_mlp(obj_mlp, obj_latents, p, d)
+    # Last intersecting object wins (the reference's sequential overwrite
+    # order). Only the winner's MLP output is ever composited, so the
+    # shared-MLP path gathers the winner's object-frame point FIRST and
+    # evaluates the MLP once per sample — FLOPs independent of N_obj
+    # (the dense all-slots batch is kept for per-class dispatch, where the
+    # winning module varies per sample).
+    o_ids = jnp.arange(n_obj)
+    winner = jnp.argmax(jnp.where(inter, o_ids[None, None], -1), axis=-1)
+    any_inter = inter.any(-1)  # [R, S]
 
-    outs = eval_all(pts_o, dirs_o)
+    winner_only = class_groups is None
+    if winner_only:
+        w_idx = winner[..., None, None]  # [R, S, 1, 1]
+        pts_e = jnp.take_along_axis(pts_o, w_idx, axis=2)   # [R, S, 1, 3]
+        dirs_e = jnp.take_along_axis(dirs_o, w_idx, axis=2)
+        lat_e = obj_latents[winner] if obj_latents is not None else None
+
+        def eval_all(p, d):
+            return _eval_obj_mlp(obj_mlp, lat_e, p, d)
+    else:
+        pts_e, dirs_e = pts_o, dirs_o
+
+        def eval_all(p, d):
+            return _eval_obj_mlp_grouped(class_groups, obj_latents, p, d)
+
+    outs = eval_all(pts_e, dirs_e)
     if is_prop:
         outs = {k: (jax.lax.stop_gradient(v) if v is not None else None)
                 for k, v in outs.items()}
@@ -349,9 +372,12 @@ def composite_objects(obj_mlp, obj_latents: Optional[jax.Array],
     if sym:
         mirror = jnp.asarray([1.0, -1.0, 1.0])
         outs_sym = eval_all(
-            jax.lax.stop_gradient(pts_o) * mirror,
-            jax.lax.stop_gradient(dirs_o) * mirror)
-        m = inter.astype(jnp.float32)
+            jax.lax.stop_gradient(pts_e) * mirror,
+            jax.lax.stop_gradient(dirs_e) * mirror)
+        # Winner-only eval constrains the winning (sample, object) pairs;
+        # the dense path constrains every intersecting pair.
+        m = (any_inter[..., None] if winner_only else inter).astype(
+            jnp.float32)
         denom = jnp.maximum(m.sum(), 1.0)
         loss_sym = 0.0
         for k in ("density", "rgb"):
@@ -362,12 +388,9 @@ def composite_objects(obj_mlp, obj_latents: Optional[jax.Array],
             loss_sym = loss_sym + (diff * m).sum() / denom
         results["loss_sym"] = loss_sym
 
-    # Last intersecting object wins (the reference's sequential overwrite
-    # order): gather the winner slot per (ray, sample) instead of chaining
-    # N_obj `where`s.
-    o_ids = jnp.arange(n_obj)
-    winner = jnp.argmax(jnp.where(inter, o_ids[None, None], -1), axis=-1)
-    any_inter = inter.any(-1)  # [R, S]
+    if winner_only:
+        # outs arrays have N=1: slot 0 IS the winner.
+        winner = jnp.zeros_like(winner)
     for key in ("density", "rgb", "semantic", "intensity"):
         base = results.get(key)
         ov = outs.get(key)
