@@ -149,3 +149,48 @@ def test_learned_exposure_scaling():
     r0b, _ = model.apply(params2, None, b0)
     np.testing.assert_allclose(np.asarray(r0a[-1]["rgb"]),
                                np.asarray(r0b[-1]["rgb"]), atol=1e-7)
+
+
+def test_mxu_config_model_trains():
+    """The matmul-resident field preset (nuscenes_single_mxu) must run a
+    jitted train step end-to-end: spectral encode, all losses, grads."""
+    import dataclasses
+    from nerf_lidar_tpu.data import synthetic
+    from nerf_lidar_tpu.data.batching import RayBatcher
+    from nerf_lidar_tpu.train import train_step
+
+    cfg = configs.nuscenes_single_mxu()
+    # Shrink for CPU: tiny sample counts, few frequencies.
+    m = cfg.model
+    small = lambda mlp: dataclasses.replace(
+        mlp, grid=dataclasses.replace(mlp.grid, fourier_freqs=16,
+                                      fourier_dense_res=8,
+                                      base_resolution=4))
+    m = dataclasses.replace(
+        m, num_prop_samples=(6,), num_nerf_samples=6, sample_n=2,
+        sample_m=1, instance_obj=False, latent_size=0,
+        nerf_mlp=small(m.nerf_mlp), prop_mlp=small(m.prop_mlp))
+    cfg = dataclasses.replace(cfg, model=m, batch_size=64, patch_size=8,
+                              lidar_supervision=True, lidar_batch_ratio=4,
+                              pose_refine=False, track_refine=False)
+    _, data, _ = synthetic.make_scene_data(num_views=2, height=24,
+                                           width=32, focal=20.0,
+                                           far=cfg.far, with_lidar=True)
+    batcher = RayBatcher(data, cfg.batch_size, cfg.patch_size,
+                         lidar_supervision=True, lidar_batch_ratio=4,
+                         seed=0)
+    model = Model(cfg.model)
+    batch = jax.tree.map(jnp.asarray, batcher.next())
+    params = model.init(jax.random.PRNGKey(0), None, batch)
+    state, tx = train_step.create_train_state(cfg, params)
+    step_fn = train_step.make_train_step(
+        model, tx, cfg, num_patch_rays=batcher.num_patch_rays)
+    l0 = None
+    key = jax.random.PRNGKey(1)
+    for i in range(3):
+        key, sub = jax.random.split(key)
+        state, stats = step_fn(state, batch, sub, None, None)
+        if l0 is None:
+            l0 = float(stats["loss"])
+    assert np.isfinite(float(stats["loss"]))
+    assert float(stats["loss"]) < l0 * 1.5
