@@ -19,6 +19,7 @@ import argparse
 import dataclasses
 import os
 import sys
+import time
 from typing import Any, List, Optional
 
 import numpy as np
@@ -225,7 +226,15 @@ def cmd_train(args):
         from .utils.image import psnr as psnr_fn
         test_renderer = ChunkRenderer(model, cfg, cfg.render_chunk_size,
                                       mesh=mesh)
-        test_view = data.num_views - 1
+        # Render the llffhold test-split view (reference train.py:585-605
+        # renders the TEST split; with the reference's
+        # use_all_for_training=True nuScenes default that view is also
+        # trained on, so treat the curve as an upper bound, not held-out
+        # generalization).
+        splits = getattr(scene, "splits", None) or {}
+        test_split = splits.get("test")
+        test_view = (int(test_split[0]) if test_split is not None
+                     and len(test_split) else data.num_views - 1)
         test_rays = _view_rays(data, test_view)
         test_gt = data.images[test_view]
 
@@ -258,7 +267,13 @@ def cmd_train(args):
             print(f"profiler trace written to {args.trace_dir}")
         if test_renderer is not None and \
                 (step + 1) % cfg.train_render_every == 0:
+            t_render = time.perf_counter()
             _train_render(step + 1, state.params)
+            logger.log(step + 1,
+                       render_s=round(time.perf_counter() - t_render, 2))
+            # Reset the throughput window so the render's wall time does
+            # not pollute the next rays/s mark.
+            timer.mark()
         if (step + 1) % cfg.print_every == 0:
             jax.block_until_ready(stats["loss"])
             dt, rays_per_sec = timer.mark()
@@ -295,11 +310,6 @@ def cmd_eval(args):
     model = Model(dataclasses.replace(
         cfg.model, instance_obj=False) if getattr(scene, "tracks", None)
         is None else cfg.model)
-
-    # Dummy state with matching structure for checkpoint restores.
-    batch0 = _probe_batch(data)
-    params0 = jax.jit(model.init)(jax.random.PRNGKey(0), None, batch0)
-    state0, tx = train_step.create_train_state(cfg, params0)
 
     renderer = ChunkRenderer(model, cfg, cfg.render_chunk_size)
     harness = MetricHarness()
@@ -341,10 +351,19 @@ def cmd_eval(args):
             f.write("\n".join(f"{t:.4f}" for t in render_times))
 
     def restore_latest():
-        state, step = checkpoints.restore_checkpoint(out, state0)
-        p = state.params
-        return step, (p["model"] if isinstance(p, dict) and "model" in p
-                      else p)
+        params, step = checkpoints.restore_model_params(out)
+        if params is None:
+            raise SystemExit(f"no checkpoint in {out}")
+        return step, params
+
+    def eval_latest(_detected_step):
+        # Re-restore and label with the RESTORED step: between detection
+        # and restore the trainer may have saved a newer checkpoint and
+        # pruned the detected one (the daemon then skips the stale label
+        # and records the checkpoint actually evaluated).
+        step, params = restore_latest()
+        eval_checkpoint(step, params)
+        return step
 
     if not args.follow:
         step, params = restore_latest()
@@ -353,7 +372,7 @@ def cmd_eval(args):
         return
 
     follow_checkpoints(
-        out, lambda step: eval_checkpoint(step, restore_latest()[1]),
+        out, eval_latest,
         poll_every=args.poll_every, timeout=args.follow_timeout,
         stop_step=args.steps or cfg.max_steps)
 
@@ -373,8 +392,11 @@ def follow_checkpoints(out: str, eval_fn, poll_every: float = 10.0,
         step = checkpoints.checkpoint_step(latest) if latest else 0
         if latest and step > last_step:
             print(f"eval --follow: new checkpoint at step {step}")
-            eval_fn(step)
-            last_step = step
+            done = eval_fn(step)
+            # eval_fn may restore a newer checkpoint than detected; trust
+            # the step it reports so that one is not evaluated twice.
+            last_step = max(step, done if done is not None else step)
+            step = last_step
             idle = 0.0
             if stop_step and step >= stop_step:
                 print("eval --follow: final checkpoint evaluated")
@@ -419,15 +441,18 @@ def _probe_batch(data, n: int = 8):
 
 
 def _restore_model_params(cfg, model, data):
-    """Init a matching params tree and restore the latest checkpoint."""
+    """Restore the latest checkpoint's model params (structure-free — works
+    regardless of whether the run trained with pose/track refinement; see
+    checkpoints.restore_model_params). Falls back to a fresh init when the
+    experiment has no checkpoint yet."""
     import jax
-    from .train import checkpoints, train_step
-    params = jax.jit(model.init)(jax.random.PRNGKey(0), None,
-                                 _probe_batch(data))
-    state, tx = train_step.create_train_state(cfg, params)
-    state, step = checkpoints.restore_checkpoint(exp_dir(cfg), state)
-    p = state.params
-    return (p["model"] if isinstance(p, dict) and "model" in p else p), step
+    from .train import checkpoints
+    params, step = checkpoints.restore_model_params(exp_dir(cfg))
+    if params is None:
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), None,
+                                     _probe_batch(data))
+        step = 0
+    return params, step
 
 
 def cmd_render(args):
@@ -630,11 +655,15 @@ def cmd_lidar_eval(args):
 
     o, d, gt_depth = (data.lidar_origins, data.lidar_dirs, data.lidar_depth)
     ts = data.lidar_timestamps
+    labels = None
+    if getattr(scene, "lidar", None):
+        labels = scene.lidar.get("labels")  # aligned 1:1 with the rays
     if args.max_rays and o.shape[0] > args.max_rays:
         sel = np.random.RandomState(0).choice(o.shape[0], args.max_rays,
                                               replace=False)
         o, d, gt_depth = o[sel], d[sel], gt_depth[sel]
         ts = ts[sel] if ts is not None else None
+        labels = labels[sel] if labels is not None else None
     rays = cast_lidar_rays(o, d, data.near, data.far)
     if ts is not None:
         rays["timestamp"] = ts.astype(np.float32)
@@ -654,9 +683,6 @@ def cmd_lidar_eval(args):
     }
     metrics.update(pc_metrics.chamfer_distance(pred_pts, gt_pts))
 
-    labels = None
-    if getattr(scene, "lidar", None):
-        labels = scene.lidar.get("labels")
     ed = os.path.join(out, "lidar_eval")
     os.makedirs(ed, exist_ok=True)
     if "semantic" in outr and labels is not None:

@@ -210,13 +210,16 @@ def in_hull(points: np.ndarray, corners: np.ndarray) -> np.ndarray:
 
 
 def read_lidar_bin(path: str, bboxes: Optional[np.ndarray] = None,
-                   d_min: float = 3.0, d_max: float = 100.0):
+                   d_min: float = 3.0, d_max: float = 100.0,
+                   return_keep: bool = False):
     """.bin (N x 5: xyz, intensity, ring) -> (depth, unit dirs, intensity)
     in the sensor frame, moving points + range-gated removed
-    (lidar_utils.py:346-394)."""
+    (lidar_utils.py:346-394). return_keep=True additionally returns the
+    boolean keep mask over the raw scan rows (for aligning per-point
+    sidecar data such as .label files); that path stays in numpy."""
     scan = np.fromfile(path, dtype=np.float32).reshape(-1, 5)
     from .. import native
-    if bboxes is None and native.available():
+    if bboxes is None and native.available() and not return_keep:
         points, intensity, depth = native.decode_bin(scan, d_min, d_max)
     else:
         points = scan[:, :3]
@@ -230,6 +233,9 @@ def read_lidar_bin(path: str, bboxes: Optional[np.ndarray] = None,
         depth = np.linalg.norm(points, axis=1)
         keep &= (depth > d_min) & (depth < d_max)
         points, depth, intensity = points[keep], depth[keep], intensity[keep]
+        if return_keep:
+            dirs = points / depth[:, None]
+            return depth, dirs, intensity, keep
     dirs = points / depth[:, None]
     return depth, dirs, intensity
 
@@ -247,6 +253,7 @@ def load_lidar_rays(root_dir: str, frame: SceneFrame,
     cam_inv = inv_rigid(cam2global)
 
     origins, dirs, depths, intens, frame_ids = [], [], [], [], []
+    labels = []
     for i in range(len(bins)):
         boxes = None
         if moving_mask:
@@ -256,8 +263,18 @@ def load_lidar_rays(root_dir: str, frame: SceneFrame,
                     rows = f.readlines()
                 boxes = np.array([r.split()[1:] for r in rows]).astype(
                     np.float32).reshape(-1, 8, 3)
-        depth, d_lidar, intensity = read_lidar_bin(
-            os.path.join(lidar_dir, f"{i:06d}.bin"), boxes)
+        label_file = os.path.join(lidar_dir, f"{i:06d}.label")
+        if os.path.exists(label_file):
+            # SemanticKITTI sidecar labels: align with the same keep mask
+            # the bin decode applies (hull removal + range gate).
+            depth, d_lidar, intensity, keep = read_lidar_bin(
+                os.path.join(lidar_dir, f"{i:06d}.bin"), boxes,
+                return_keep=True)
+            raw = np.fromfile(label_file, dtype=np.uint32) & 0xFFFF
+            labels.append(raw[keep].astype(np.int32))
+        else:
+            depth, d_lidar, intensity = read_lidar_bin(
+                os.path.join(lidar_dir, f"{i:06d}.bin"), boxes)
         center_g = np.load(
             os.path.join(lidar_dir, f"points{i:03d}.npy"))[:, -1][:3]
         origin = frame.world_to_scene_points(apply_rigid(cam_inv, center_g))
@@ -271,7 +288,7 @@ def load_lidar_rays(root_dir: str, frame: SceneFrame,
         frame_ids.append(np.full(n, i, np.int32))
     intens = np.concatenate(intens)
     intens = intens / max(intens.max(), 1e-9)
-    return dict(
+    out = dict(
         origins=np.concatenate(origins).astype(np.float32),
         dirs=np.concatenate(dirs).astype(np.float32),
         depth=np.concatenate(depths).astype(np.float32),
@@ -279,6 +296,9 @@ def load_lidar_rays(root_dir: str, frame: SceneFrame,
         frame_ids=np.concatenate(frame_ids),
         lidar2globals=l2g,
         num_sweeps=len(bins))
+    if len(labels) == len(bins):
+        out["labels"] = np.concatenate(labels)
+    return out
 
 
 @dataclasses.dataclass

@@ -21,6 +21,7 @@ import numpy as np
 
 from .configs import ModelConfig
 from .ops import coord
+from .renderer import _pad_to as _pad_rows
 from .utils import marching
 
 
@@ -138,6 +139,11 @@ def build_visibility_grid(model, params, scene_data, resolution: int = 128,
             b = {k: jnp.asarray(val[i:i + chunk]) for k, val in rays.items()}
             pts_c, w = jax.device_get(fn(params, b))
             pts = pts_c[w > weight_thresh]
+            # Contracted points span [-2, 2]^3 but the grid covers only
+            # [-mesh_radius, mesh_radius]^3: points outside the cube must
+            # be DISCARDED, not clamped onto border voxels (clamping marks
+            # the whole boundary shell visible, defeating the culling).
+            pts = pts[np.all(np.abs(pts) <= mesh_radius, axis=-1)]
             if pts.size == 0:
                 continue
             # Continuous voxel coords; mark the full trilinear footprint.
@@ -148,13 +154,6 @@ def build_visibility_grid(model, params, scene_data, resolution: int = 128,
                 q = np.clip(lo + corner, 0, resolution - 1)
                 grid[q[:, 0], q[:, 1], q[:, 2]] = True
     return grid
-
-
-def _pad_rows(x: np.ndarray, n: int) -> np.ndarray:
-    if x.shape[0] == n:
-        return x
-    return np.concatenate(
-        [x, np.repeat(x[-1:], n - x.shape[0], axis=0)], axis=0)
 
 
 def auto_normals(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:

@@ -56,7 +56,6 @@ class ZipMLP(nn.Module):
         self.table = self.param(
             "table",
             lambda key: self.spec.init_table(key, std=1e-4))
-        self._grid_sizes = jnp.asarray(self.spec.grid_sizes())
         self._fourier_B = None
         if spectral:
             self._fourier_B = fourierlib.make_frequency_matrix(
@@ -148,7 +147,7 @@ class ZipMLP(nn.Module):
         x01 = (means + 1.0) / 2.0
         if c.re_weights:
             feats, weights = gridlib.hash_encode_multisample(
-                self.table, x01, stds, self.spec, self._grid_sizes,
+                self.table, x01, stds, self.spec,
                 coarse_res_cutoff=c.ms_coarse_res_cutoff)
         else:
             # No erf downweighting (obj MLPs, reference models.py:978-979):

@@ -337,7 +337,6 @@ def hash_encode(table: jax.Array, x01: jax.Array,
 
 def hash_encode_multisample(table: jax.Array, x01: jax.Array, stds: jax.Array,
                             spec: HashGridSpec,
-                            grid_sizes: jax.Array = None,
                             coarse_res_cutoff: int = 0) -> jax.Array:
     """Encode n multisample points and reduce with erf downweighting.
 

@@ -76,6 +76,32 @@ def restore_checkpoint(directory_or_path: str, target: Any,
     return state, checkpoint_step(path)
 
 
+def restore_model_params(directory_or_path: str,
+                         prefix: str = "checkpoint_"
+                         ) -> Tuple[Optional[Any], int]:
+    """Restore ONLY the model param subtree, with no target structure.
+
+    Eval-side consumers (eval/render/lidar_eval/extract) must not need to
+    reconstruct the training-time posenet/tracknet/optimizer structure to
+    read a checkpoint — a run trained with pose/track refinement stores
+    params as {"model": ..., "posenet": ..., "tracknet": ...} and a plain
+    run stores the model variables directly; this peels either layout from
+    the raw msgpack tree. Returns (params, step) or (None, 0) when there
+    is nothing to restore.
+    """
+    path = directory_or_path
+    if os.path.isdir(directory_or_path):
+        path = latest_checkpoint(directory_or_path, prefix)
+    if path is None or not os.path.exists(path):
+        return None, 0
+    with open(path, "rb") as f:
+        raw = flax.serialization.msgpack_restore(f.read())
+    params = raw["params"]
+    if isinstance(params, dict) and "model" in params:
+        params = params["model"]
+    return params, checkpoint_step(path)
+
+
 def save_obj_mlp_params(params: Any, name: str, path: str) -> str:
     """Serialize one obj-MLP subtree (e.g. 'obj_mlp_cls2') to a file.
 

@@ -119,12 +119,11 @@ def test_hash_encode_input_gradient_continuity():
 def test_multisample_erf_downweighting():
     spec = _small_spec()
     table = spec.init_table(jax.random.PRNGKey(5), std=1.0)
-    gs = jnp.asarray(spec.grid_sizes())
     x = jnp.asarray(np.random.RandomState(2).rand(4, 6, 3).astype(np.float32))
     stds_small = jnp.full((4, 6), 1e-6)
     stds_large = jnp.full((4, 6), 10.0)
-    f_small, w_small = grid.hash_encode_multisample(table, x, stds_small, spec, gs)
-    f_large, w_large = grid.hash_encode_multisample(table, x, stds_large, spec, gs)
+    f_small, w_small = grid.hash_encode_multisample(table, x, stds_small, spec)
+    f_large, w_large = grid.hash_encode_multisample(table, x, stds_large, spec)
     assert f_small.shape == (4, spec.output_dim)
     # Tiny stds -> erf ~ 1; huge stds -> erf ~ 0.
     np.testing.assert_allclose(np.asarray(w_small), 1.0, atol=1e-4)
@@ -188,15 +187,14 @@ def test_multisample_coarse_cutoff_matches_when_cloud_in_cell():
     # must equal full encode exactly (trilinear is affine within a cell).
     spec = _small_spec()
     table = spec.init_table(jax.random.PRNGKey(0), std=1.0)
-    gs = jnp.asarray(spec.grid_sizes())
     rng = np.random.RandomState(0)
     base = rng.rand(16, 1, 3).astype(np.float32) * 0.9 + 0.05
     # Spread 1e-4 << coarsest cell (res 5 -> cell 0.2).
     x = jnp.asarray(base + rng.randn(16, 7, 3).astype(np.float32) * 1e-4)
     stds = jnp.full((16, 7), 1e-5)
-    full, _ = grid.hash_encode_multisample(table, x, stds, spec, gs,
+    full, _ = grid.hash_encode_multisample(table, x, stds, spec,
                                            coarse_res_cutoff=0)
-    fast, _ = grid.hash_encode_multisample(table, x, stds, spec, gs,
+    fast, _ = grid.hash_encode_multisample(table, x, stds, spec,
                                            coarse_res_cutoff=5)
     # Level 0 (res 5) uses mean-encode in `fast`; the cloud sits in one cell
     # so the first level_dim features must agree to float precision.
@@ -214,13 +212,12 @@ def test_multisample_cutoff_all_levels_still_close():
     # approximation stays close to the exact encode.
     spec = _small_spec()
     table = spec.init_table(jax.random.PRNGKey(1), std=1.0)
-    gs = jnp.asarray(spec.grid_sizes())
     rng = np.random.RandomState(1)
     base = rng.rand(32, 1, 3).astype(np.float32) * 0.9 + 0.05
     x = jnp.asarray(base + rng.randn(32, 7, 3).astype(np.float32) * 2e-3)
     stds = jnp.full((32, 7), 2e-3)
-    full, _ = grid.hash_encode_multisample(table, x, stds, spec, gs, 0)
-    fast, _ = grid.hash_encode_multisample(table, x, stds, spec, gs, 10**9)
+    full, _ = grid.hash_encode_multisample(table, x, stds, spec, 0)
+    fast, _ = grid.hash_encode_multisample(table, x, stds, spec, 10**9)
     err = np.abs(np.asarray(fast) - np.asarray(full))
     scale = np.abs(np.asarray(full)).mean() + 1e-6
     assert err.mean() / scale < 0.05, (err.mean(), scale)

@@ -157,3 +157,42 @@ def test_anti_interlevel_loss_with_obj_mask():
     hist[0]["obj_mask"] = jnp.ones((R, S_prop, K), bool)
     loss_all = losses_lib.anti_interlevel_loss(hist, cfg)
     assert np.isfinite(float(loss_all))
+
+
+def test_restore_model_params_from_refined_checkpoint(tmp_path):
+    """Eval-side restore must not need the training-time aux-net structure:
+    a checkpoint trained with pose+track refinement stores params as
+    {model, posenet, tracknet}; restore_model_params peels out the model
+    subtree (regression: eval/lidar_eval crashed on every nuScenes preset
+    because they ship with track_refine=True)."""
+    import dataclasses
+    from nerf_lidar_tpu.models import posenet as pn
+
+    cfg, model, batcher, _, _ = _setup(lidar=False)
+    cfg = dataclasses.replace(cfg, pose_refine=True, track_refine=True)
+    batch = jax.tree.map(jnp.asarray, batcher.next())
+    params = model.init(jax.random.PRNGKey(0), None, batch)
+    posenet = pn.LearnPose(num_cams=4, num_lidars=1, t_ratio=0.1)
+    pn_params = posenet.init(jax.random.PRNGKey(1),
+                             jnp.zeros(1, jnp.int32))
+    tracknet = pn.TrackOpt(num_objects=2, num_timestamps=3)
+    tn_params = tracknet.init(jax.random.PRNGKey(2),
+                              jnp.zeros((2, 3, 9)))
+    state, _ = train_step.create_train_state(cfg, params, pn_params,
+                                             tn_params)
+    checkpoints.save_checkpoint(str(tmp_path), state, 7)
+    got, step = checkpoints.restore_model_params(str(tmp_path))
+    assert step == 7
+    want = jax.tree.leaves(params)
+    have = jax.tree.leaves(got)
+    assert len(want) == len(have)
+    np.testing.assert_allclose(np.asarray(have[0]), np.asarray(want[0]))
+    # Plain (no-aux) checkpoints restore identically.
+    cfg2 = dataclasses.replace(cfg, pose_refine=False, track_refine=False)
+    state2, _ = train_step.create_train_state(cfg2, params)
+    d2 = str(tmp_path / "plain")
+    checkpoints.save_checkpoint(d2, state2, 3)
+    got2, step2 = checkpoints.restore_model_params(d2)
+    assert step2 == 3 and len(jax.tree.leaves(got2)) == len(want)
+    # Missing checkpoint -> (None, 0).
+    assert checkpoints.restore_model_params(str(tmp_path / "nope"))[0] is None
