@@ -189,7 +189,8 @@ def cmd_train(args):
         model, tx, cfg, mesh=mesh, num_patch_rays=batcher.num_patch_rays,
         posenet_model=posenet, tracknet_model=tracknet)
 
-    logger = MetricsLogger(out)
+    logger = MetricsLogger(out, tensorboard=getattr(args, "tensorboard",
+                                                    False))
     timer = Timer()
     key = jax.random.PRNGKey(cfg.seed + 17)
     max_steps = args.steps or cfg.max_steps
@@ -826,6 +827,9 @@ def main(argv: Optional[List[str]] = None):
     sp.add_argument("--steps", type=int, default=0)
     sp.add_argument("--multihost", action="store_true",
                     help="jax.distributed.initialize() for multi-host runs")
+    sp.add_argument("--tensorboard", action="store_true",
+                    help="also mirror scalar metrics to <exp>/tb "
+                         "(tensorboardX, reference train.py:516-533)")
     sp.add_argument("--trace_dir", default=None,
                     help="write a jax.profiler trace of steps "
                          "[trace_start, trace_stop] to this dir")

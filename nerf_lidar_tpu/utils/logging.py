@@ -15,13 +15,27 @@ from typing import Dict, Optional
 
 
 class MetricsLogger:
+    """JSONL metrics (always) + optional TensorBoard scalars.
+
+    The TB stream mirrors the reference's tensorboardX logging
+    (train.py:516-533); it is best-effort — absent tensorboardX or a
+    writer error never interrupts training.
+    """
+
     def __init__(self, exp_dir: str, name: str = "metrics.jsonl",
-                 host_only: bool = True):
+                 host_only: bool = True, tensorboard: bool = False):
         self.path = None
+        self.tb = None
         import jax
         if not host_only or jax.process_index() == 0:
             os.makedirs(exp_dir, exist_ok=True)
             self.path = os.path.join(exp_dir, name)
+            if tensorboard:
+                try:
+                    from tensorboardX import SummaryWriter
+                    self.tb = SummaryWriter(os.path.join(exp_dir, "tb"))
+                except Exception as e:  # pragma: no cover - optional dep
+                    print(f"tensorboard logging disabled: {e}")
 
     def log(self, step: int, **metrics):
         if self.path is None:
@@ -34,6 +48,10 @@ class MetricsLogger:
                 rec[k] = v
         with open(self.path, "a") as f:
             f.write(json.dumps(rec) + "\n")
+        if self.tb is not None:
+            for k, v in rec.items():
+                if k not in ("step", "time") and isinstance(v, float):
+                    self.tb.add_scalar(k, v, step)
 
 
 class Timer:

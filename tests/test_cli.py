@@ -40,3 +40,18 @@ def test_follow_checkpoints_times_out_when_idle(tmp_path):
                        stop_step=100)
     assert seen == [5]
     assert time.time() - t0 < 3.0
+
+
+def test_metrics_logger_tensorboard(tmp_path):
+    """--tensorboard mirrors scalars to <exp>/tb via tensorboardX."""
+    from nerf_lidar_tpu.utils.logging import MetricsLogger
+
+    lg = MetricsLogger(str(tmp_path), tensorboard=True)
+    lg.log(1, loss=0.5, psnr=20.0, note="s")
+    lg.log(2, loss=0.4, psnr=21.0)
+    if lg.tb is not None:
+        lg.tb.flush()
+        import glob
+        assert glob.glob(str(tmp_path / "tb" / "events.*"))
+    lines = open(str(tmp_path / "metrics.jsonl")).read().splitlines()
+    assert len(lines) == 2
