@@ -4,12 +4,12 @@ Prints ONE JSON line:
   {"metric": "train_rays_per_sec", "value": N, "unit": "rays/s",
    "vs_baseline": R}
 
-Benched config: `nuscenes_single_fast` — the TPU-first field (fewer/wider
-hash levels, tetrahedral interpolation, coarse-multisample collapse; see
-configs.py). The reference-exact `nuscenes_single` config is ~9x slower on
-TPU because hash-table gathers are instruction-rate-bound (~50M indices/s
-on v5e regardless of row width); both operating points are recorded in
-BASELINE.md.
+Benched config: `nuscenes_single_mxu` — the matmul-resident field (dense
+tiled band below the v5e gather cliff + IPE-damped Fourier features,
+ops/fourier.py). Quality context (BASELINE.md): +4.4 dB over the hash
+fast config at equal wall clock on the oracle harness; 0.6-1.5 dB behind
+at equal steps on the at-scale scene. The hash operating points
+(reference-exact ~3.4k, fast ~7.2k rays/s) are recorded in BASELINE.md.
 
 Baseline context: the reference publishes no numbers; its train throughput
 metric is rays/sec = batch_size x steps/sec (reference train.py:485,527,554).
@@ -45,7 +45,7 @@ def main():
     # (train_nusc.sh:24-26); its multi-GPU batch 16384 is global across 8
     # ranks. rays/sec reported here is per chip.
     batch_size = 4096
-    cfg = configs.nuscenes_single_fast()
+    cfg = configs.nuscenes_single_mxu()
     mcfg = dataclasses.replace(cfg.model, instance_obj=False)
     cfg = dataclasses.replace(cfg, model=mcfg, batch_size=batch_size,
                               patch_size=1, lidar_supervision=False,
