@@ -1,0 +1,69 @@
+"""Sweep-render throughput: seconds per 32x1100 LiDAR sweep, one chip.
+
+The BASELINE north star is <1 s/sweep on a v5e-8; round 1 measured
+1.38 s/sweep single-chip on the hash fast config. This times the
+checkpointed field named on the command line (default: the mxu flagship)
+rendering full sweeps through lidar/render's path, bounded by value
+fetches (block_until_ready lies on this backend).
+
+Usage: python experiments/sweep_bench.py [config] [exp_name]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from nerf_lidar_tpu.utils import compile_cache
+
+compile_cache.enable()
+
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
+
+CONFIG = sys.argv[1] if len(sys.argv) > 1 else "nuscenes_single_mxu"
+EXP = sys.argv[2] if len(sys.argv) > 2 else "scale_mxu"
+
+
+def main():
+    from nerf_lidar_tpu import cli
+    from nerf_lidar_tpu.models.model import Model
+    from nerf_lidar_tpu.renderer import ChunkRenderer
+    from nerf_lidar_tpu.lidar import render as lrender
+    from nerf_lidar_tpu.lidar import sensor as sensorlib
+
+    args = type("A", (), {"config": CONFIG, "data_dir": "exp/data/nusc_scale",
+                          "exp_name": EXP, "set": ["sensor_num=6"]})()
+    cfg = cli.build_config(args)
+    scene = cli.load_scene_for(cfg, "lidar")
+    data = scene.data
+    import dataclasses
+    model = Model(dataclasses.replace(cfg.model, instance_obj=False))
+    params, step = cli._restore_model_params(cfg, model, data)
+    renderer = ChunkRenderer(model, cfg, cfg.render_chunk_size)
+
+    l2g0 = scene.lidar["lidar2globals"][0] if scene.lidar else np.eye(4)
+    sweeps, _ = sensorlib.simulated_sweeps(
+        np.array([0.0, 0.0, 1.8]), np.array([8.0, 0.0, 1.8]), l2g0,
+        scene.frame, num_sweeps=4)
+    # Warm + compile.
+    out = lrender.render_sweep(renderer, params, sweeps[0], data.near,
+                               data.far, scene.frame)
+    float(np.asarray(out["depth"]).sum())
+    t0 = time.perf_counter()
+    last = None
+    for sw in sweeps:
+        last = lrender.render_sweep(renderer, params, sw, data.near,
+                                    data.far, scene.frame)
+    float(np.asarray(last["depth"]).sum())
+    dt = (time.perf_counter() - t0) / len(sweeps)
+    print(json.dumps({"metric": "sweep_render_s", "config": CONFIG,
+                      "step": int(step), "value": round(dt, 3),
+                      "sweeps_per_sec": round(1.0 / dt, 3),
+                      "rays_per_sweep": 32 * 1100}))
+
+
+if __name__ == "__main__":
+    main()
