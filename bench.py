@@ -7,8 +7,8 @@ Prints ONE JSON line:
 Benched config: `nuscenes_single_mxu` — the matmul-resident field (dense
 tiled band below the v5e gather cliff + IPE-damped Fourier features,
 ops/fourier.py). Quality context (BASELINE.md): +4.4 dB over the hash
-fast config at equal wall clock on the oracle harness; 0.6-1.5 dB behind
-at equal steps on the at-scale scene. The hash operating points
+fast config at equal wall clock on the oracle harness; 1-2 dB behind at
+equal steps on the at-scale scene. The hash operating points
 (reference-exact ~3.4k, fast ~7.2k rays/s) are recorded in BASELINE.md.
 
 Baseline context: the reference publishes no numbers; its train throughput

@@ -35,7 +35,8 @@ def main():
     from nerf_lidar_tpu.lidar import sensor as sensorlib
 
     args = type("A", (), {"config": CONFIG, "data_dir": "exp/data/nusc_scale",
-                          "exp_name": EXP, "set": ["sensor_num=6"]})()
+                          "exp_name": EXP,
+                          "set": ["sensor_num=6", "render_chunk_size=8800"]})()
     cfg = cli.build_config(args)
     scene = cli.load_scene_for(cfg, "lidar")
     data = scene.data
