@@ -55,3 +55,25 @@ def test_metrics_logger_tensorboard(tmp_path):
         assert glob.glob(str(tmp_path / "tb" / "events.*"))
     lines = open(str(tmp_path / "metrics.jsonl")).read().splitlines()
     assert len(lines) == 2
+
+
+def test_follow_checkpoints_trusts_returned_step(tmp_path):
+    """If eval_fn restores a NEWER checkpoint than detected (trainer saved
+    and pruned between detection and restore), the daemon must not
+    evaluate that newer checkpoint a second time."""
+    d = str(tmp_path)
+    _touch(d, 10)
+    calls = []
+
+    def eval_fn(detected):
+        calls.append(detected)
+        if len(calls) == 1:
+            # Simulate: trainer wrote 20 and pruned 10; restore got 20.
+            os.remove(os.path.join(d, "checkpoint_10.ckpt"))
+            _touch(d, 20)
+            return 20
+        return detected
+
+    follow_checkpoints(d, eval_fn, poll_every=0.05, timeout=1.0,
+                       stop_step=20)
+    assert calls == [10], calls
