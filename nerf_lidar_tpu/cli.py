@@ -150,7 +150,7 @@ def cmd_train(args):
         cfg = dataclasses.replace(cfg, model=mcfg)
 
     from .parallel import maybe_data_mesh
-    mesh = maybe_data_mesh()
+    mesh = maybe_data_mesh(shape=cfg.mesh_shape, axes=cfg.mesh_axes)
     if mesh is not None:
         print(f"data-parallel over {mesh.size} devices")
 
@@ -174,7 +174,8 @@ def cmd_train(args):
     pn_params = tn_params = None
     if cfg.pose_refine:
         posenet = pn.LearnPose(num_cams=data.num_views, num_lidars=1,
-                               t_ratio=cfg.t_ratio)
+                               t_ratio=cfg.t_ratio, learn_R=cfg.learn_R,
+                               learn_t=cfg.learn_t)
         pn_params = posenet.init(jax.random.PRNGKey(1),
                                  jnp.zeros(1, jnp.int32))
     if cfg.track_refine and tracks is not None:

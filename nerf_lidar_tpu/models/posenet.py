@@ -44,10 +44,18 @@ def so3_exp(r: jax.Array) -> jax.Array:
 
 
 class LearnPose(nn.Module):
-    """Per-camera-image (+ per-LiDAR-frame) learnable pose deltas."""
+    """Per-camera-image (+ per-LiDAR-frame) learnable pose deltas.
+
+    learn_R/learn_t (reference configs.py:160-161, posenet_v2.py) gate
+    whether the rotation/translation deltas take effect — a disabled
+    component is pinned to identity/zero via stop_gradient-free masking
+    (the params exist either way, so checkpoints stay
+    structure-compatible across settings)."""
     num_cams: int
     num_lidars: int = 0
     t_ratio: float = 0.25  # damping on translation (configs.py:152)
+    learn_R: bool = True
+    learn_t: bool = True
 
     def setup(self):
         n = self.num_cams + self.num_lidars
@@ -56,8 +64,10 @@ class LearnPose(nn.Module):
 
     def __call__(self, cam_id: jax.Array) -> Tuple[jax.Array, jax.Array]:
         """cam_id: [N] int. Returns (R [N, 3, 3], t [N, 3])."""
-        r = self.r[cam_id]
-        t = self.t[cam_id] * self.t_ratio
+        r = self.r[cam_id] if self.learn_R else \
+            jnp.zeros_like(self.r[cam_id])
+        t = (self.t[cam_id] * self.t_ratio if self.learn_t
+             else jnp.zeros_like(self.t[cam_id]))
         return so3_exp(r), t
 
 

@@ -97,13 +97,16 @@ def semantic_loss(batch, renderings, config: Config, step):
         sem, labels_safe[..., None], axis=-1)[..., 0] + 1e-6)
     loss = -_masked_mean(logp, mask)
     step = jnp.asarray(step, jnp.float32)
+    # Schedule from reference train.py:400-411, expressed as fractions of
+    # semantic_loss_mult (default 0.05 -> the reference's 0.01/0.04).
+    lo, hi = 0.2 * config.semantic_loss_mult, 0.8 * config.semantic_loss_mult
     if config.pose_refine:
         in_window = ((step > config.start_step)
                      & (step < int(0.6 * config.end_step)))
         lam = jnp.where(in_window, 0.0,
-                        jnp.where(step > config.end_step, 0.04, 0.01))
+                        jnp.where(step > config.end_step, hi, lo))
     else:
-        lam = jnp.where(step > config.end_step, 0.04, 0.01)
+        lam = jnp.where(step > config.end_step, hi, lo)
     return lam * loss
 
 

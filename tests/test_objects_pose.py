@@ -442,3 +442,29 @@ def test_train_step_with_pose_and_track_refinement():
         state.params["tracknet"]["params"]["opt_t"])).sum()
     assert moved_pose > 0
     assert moved_track > 0
+
+
+def test_learnpose_learn_flags_gate_components():
+    """learn_R/learn_t (reference configs.py:160-161): a disabled component
+    stays identity/zero even with nonzero params, and gets no gradient."""
+    model = pn.LearnPose(num_cams=3, learn_R=True, learn_t=False)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros(1, jnp.int32))
+    params = jax.tree.map(lambda x: x + 0.05, params)
+    R, t = model.apply(params, jnp.arange(3))
+    assert np.abs(np.asarray(t)).max() == 0.0
+    assert np.abs(np.asarray(R) - np.eye(3)).max() > 1e-4
+
+    def loss(p):
+        R, t = model.apply(p, jnp.arange(3))
+        return (R**2).sum() + (t**2).sum()
+
+    g = jax.grad(loss)(params)
+    assert np.abs(np.asarray(g["params"]["t"])).max() == 0.0
+    assert np.abs(np.asarray(g["params"]["r"])).max() > 0.0
+
+    m2 = pn.LearnPose(num_cams=3, learn_R=False, learn_t=True)
+    R2, t2 = m2.apply(params, jnp.arange(3))
+    np.testing.assert_allclose(np.asarray(R2),
+                               np.broadcast_to(np.eye(3), (3, 3, 3)),
+                               atol=1e-7)
+    assert np.abs(np.asarray(t2)).max() > 0.0

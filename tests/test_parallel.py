@@ -54,3 +54,17 @@ def test_chunk_renderer_mesh_matches_single_device():
         np.testing.assert_allclose(np.asarray(sharded[k]),
                                    np.asarray(single[k]),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_maybe_data_mesh_honors_mesh_shape():
+    """Config.mesh_shape/mesh_axes drive the mesh construction: the
+    default (-1,) gives the 1-D data mesh; a 2-D shape reshapes the
+    device array with the requested axis names."""
+    from nerf_lidar_tpu.parallel import maybe_data_mesh
+
+    m1 = maybe_data_mesh()
+    assert m1 is not None and m1.axis_names == ("data",)
+    assert m1.devices.shape == (8,)
+    m2 = maybe_data_mesh(shape=(-1, 2), axes=("data", "model"))
+    assert m2.axis_names == ("data", "model")
+    assert m2.devices.shape == (4, 2)
