@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import json
 import os
 import sys
 import time
@@ -66,6 +67,15 @@ def _set_path(obj, parts: List[str], val: str):
 
 
 def build_config(args) -> configs.Config:
+    if getattr(args, "config_json", None):
+        with open(args.config_json) as f:
+            base = configs.Config.from_dict(json.load(f))
+        cfg = apply_overrides(base, args.set)
+        if args.data_dir:
+            cfg = dataclasses.replace(cfg, data_dir=args.data_dir)
+        if args.exp_name:
+            cfg = dataclasses.replace(cfg, exp_name=args.exp_name)
+        return cfg
     base = {
         "nuscenes_single": configs.nuscenes_single,
         "nuscenes_single_fast": configs.nuscenes_single_fast,
@@ -192,6 +202,7 @@ def cmd_train(args):
 
     logger = MetricsLogger(out, tensorboard=getattr(args, "tensorboard",
                                                     False))
+    checkpointer = checkpoints.AsyncCheckpointer()
     timer = Timer()
     key = jax.random.PRNGKey(cfg.seed + 17)
     max_steps = args.steps or cfg.max_steps
@@ -288,8 +299,11 @@ def cmd_train(args):
                   f"psnr={float(stats['psnr']):.2f} "
                   f"rays/s={rays_per_sec:,.0f}")
         if (step + 1) % cfg.checkpoint_every == 0 or step + 1 == max_steps:
-            checkpoints.save_checkpoint(out, state, step + 1,
-                                        keep=cfg.checkpoint_keep)
+            # Async: snapshot on device, fetch+write on a background thread
+            # so the (possibly multi-minute, see AsyncCheckpointer) host
+            # transfer never stalls the step loop.
+            checkpointer.save(out, state, step + 1, keep=cfg.checkpoint_keep)
+    checkpointer.wait()
     prefetcher.close()
     print(f"done: {out}")
 
@@ -309,9 +323,18 @@ def cmd_eval(args):
     out = exp_dir(cfg)
     scene = load_scene_for(cfg, "test")
     data = scene.data
-    model = Model(dataclasses.replace(
-        cfg.model, instance_obj=False) if getattr(scene, "tracks", None)
-        is None else cfg.model)
+    # Dynamic scenes evaluate with the FULL model — the reference's eval
+    # builds Model(config, bboxes, latents) so test-view PSNR includes the
+    # vehicles the field actually renders (eval.py uses the train model).
+    tracks = getattr(scene, "tracks", None)
+    use_obj = tracks is not None and cfg.model.instance_obj
+    mcfg = dataclasses.replace(
+        cfg.model, instance_obj=use_obj,
+        num_objects=int(tracks.shape[0]) if use_obj else 0)
+    model = Model(mcfg)
+    tracks_j = jnp.asarray(tracks) if use_obj else None
+    mask_j = (jnp.asarray(scene.track_mask)
+              if use_obj and scene.track_mask is not None else None)
 
     renderer = ChunkRenderer(model, cfg, cfg.render_chunk_size)
     harness = MetricHarness()
@@ -324,7 +347,7 @@ def cmd_eval(args):
         for i in range(n_views):
             rays = _view_rays(data, i)
             t0 = timelib.perf_counter()
-            img = render_view(renderer, params, rays)
+            img = render_view(renderer, params, rays, tracks_j, mask_j)
             render_times.append(timelib.perf_counter() - t0)
             gt = data.images[i]
             m = harness(jnp.asarray(img["rgb"]), jnp.asarray(gt))
@@ -442,15 +465,20 @@ def _probe_batch(data, n: int = 8):
         timestamp=np.zeros(n, np.float32)).items()}
 
 
-def _restore_model_params(cfg, model, data):
+def _restore_model_params(cfg, model, data, allow_fresh: bool = False):
     """Restore the latest checkpoint's model params (structure-free — works
     regardless of whether the run trained with pose/track refinement; see
-    checkpoints.restore_model_params). Falls back to a fresh init when the
-    experiment has no checkpoint yet."""
+    checkpoints.restore_model_params). A missing checkpoint is an error:
+    render/extract/lidar_eval must not silently ship untrained output.
+    Pass allow_fresh=True (--allow_fresh) to debug with a fresh init."""
     import jax
     from .train import checkpoints
     params, step = checkpoints.restore_model_params(exp_dir(cfg))
     if params is None:
+        if not allow_fresh:
+            raise SystemExit(
+                f"no checkpoint in {exp_dir(cfg)} — refusing to render from "
+                "an untrained init (pass --allow_fresh to override)")
         params = jax.jit(model.init)(jax.random.PRNGKey(0), None,
                                      _probe_batch(data))
         step = 0
@@ -466,12 +494,25 @@ def cmd_render(args):
     from .utils import vis as vis_lib
     from .data import camera as camlib
 
+    import jax.numpy as jnp
+
     cfg = build_config(args)
     out = exp_dir(cfg)
     scene = load_scene_for(cfg, "test")
     data = scene.data
-    model = Model(dataclasses.replace(cfg.model, instance_obj=False))
-    params, step = _restore_model_params(cfg, model, data)
+    # Full model on dynamic scenes (reference render.py builds the train
+    # model); ellipse-path frames reuse the nearest test view's timestamp.
+    tracks = getattr(scene, "tracks", None)
+    use_obj = tracks is not None and cfg.model.instance_obj
+    mcfg = dataclasses.replace(
+        cfg.model, instance_obj=use_obj,
+        num_objects=int(tracks.shape[0]) if use_obj else 0)
+    model = Model(mcfg)
+    tracks_j = jnp.asarray(tracks) if use_obj else None
+    mask_j = (jnp.asarray(scene.track_mask)
+              if use_obj and scene.track_mask is not None else None)
+    params, step = _restore_model_params(
+        dataclasses.replace(cfg, model=mcfg), model, data, args.allow_fresh)
     print(f"restored step {step}")
 
     if args.path == "ellipse":
@@ -492,7 +533,11 @@ def cmd_render(args):
                                np.float32)
         rays["far"] = np.full((data.height, data.width, 1), data.far,
                               np.float32)
-        img = render_view(renderer, params, rays)
+        if data.timestamps is not None:
+            ts = data.timestamps[min(i, data.num_views - 1)]
+            rays["timestamp"] = np.full((data.height, data.width), ts,
+                                        np.float32)
+        img = render_view(renderer, params, rays, tracks_j, mask_j)
         panels = vis_lib.visualize_suite(img, near=data.near, far=data.far)
         vis_lib.save_panels(panels, render_dir, i)
         print(f"rendered frame {i}")
@@ -557,7 +602,7 @@ def cmd_render_video(args):
         num_nerf_samples=(64 if args.hq else cfg.model.num_nerf_samples))
     model = Model(mcfg)
     params, step = _restore_model_params(
-        dataclasses.replace(cfg, model=mcfg), model, data)
+        dataclasses.replace(cfg, model=mcfg), model, data, args.allow_fresh)
     print(f"restored step {step}")
 
     tracks_j = jnp.asarray(tracks) if use_obj else None
@@ -588,10 +633,17 @@ def cmd_render_video(args):
 
 
 def cmd_render_lidar(args):
-    import jax
+    """LiDAR simulation: the product-defining path (reference
+    render_lidar.py:42-165). Unlike the image entries, this builds the FULL
+    scene model — dynamic vehicles included — applies the scene-edit
+    simulation mode to the tracks (simu_info + manipulate_bboxes,
+    render_lidar.py:63-71), and stamps every sweep with scene-normalized
+    timestamps so object pose interpolation places the vehicles where they
+    were (replay) or where the edit puts them."""
+    import jax.numpy as jnp
     from .models.model import Model
+    from .models import objects as objlib
     from .renderer import ChunkRenderer
-    from .train import checkpoints, train_step
     from .lidar import sensor
     from .lidar.render import render_sweeps_to_dir
 
@@ -601,34 +653,67 @@ def cmd_render_lidar(args):
     data = scene.data
     frame = scene.frame
 
-    model = Model(dataclasses.replace(cfg.model, instance_obj=False))
-    params = jax.jit(model.init)(
-        jax.random.PRNGKey(0), None, _probe_batch(data))
-    state, tx = train_step.create_train_state(cfg, params)
-    state, step = checkpoints.restore_checkpoint(out, state)
-    params = state.params["model"] if isinstance(state.params, dict) and \
-        "model" in state.params else state.params
-    print(f"restored step {step}")
+    # Scene-edit mode applied to the tracks (reference config.simu_mode).
+    tracks = getattr(scene, "tracks", None)
+    track_mask = getattr(scene, "track_mask", None)
+    angle, tracks = objlib.simu_info(args.obj_mode, tracks)
+    if tracks is not None and angle:
+        tracks = objlib.manipulate_tracks(tracks, angle)
+    if args.insert_track and tracks is not None:
+        new = np.load(args.insert_track)
+        tracks, track_mask, _ = objlib.edit_tracks(
+            tracks, track_mask, getattr(scene, "track_classes", []), new)
+
+    use_obj = tracks is not None and cfg.model.instance_obj
+    mcfg = dataclasses.replace(
+        cfg.model, instance_obj=use_obj,
+        num_objects=int(tracks.shape[0]) if use_obj else 0)
+    model = Model(mcfg)
+    params, step = _restore_model_params(
+        dataclasses.replace(cfg, model=mcfg), model, data, args.allow_fresh)
+    print(f"restored step {step}; dynamic objects: "
+          f"{int(tracks.shape[0]) if use_obj else 0} "
+          f"(obj_mode={args.obj_mode})")
 
     lidar = getattr(scene, "lidar", None)
+    sweep_ts = lidar.get("sweep_timestamps") if lidar else None
     if args.mode == "replay" and lidar is not None:
-        # Real trajectory: per-sweep centers from the loaded scene.
+        # Real trajectory: per-sweep centers + timestamps from the scene.
         l2g = lidar["lidar2globals"]
         centers = l2g[:, :3, 3]
-        sweeps = sensor.replay_sweeps(centers, l2g, frame)
+        sweeps = sensor.replay_sweeps(centers, l2g, frame,
+                                      timestamps=sweep_ts,
+                                      points_per_beam=args.azimuth_steps)
     else:
         start = np.array(args.start or [0.0, 0.0, 0.6])
         end = np.array(args.end or [10.0, 0.0, 0.6])
         sweeps, trace = sensor.simulated_sweeps(
             start, end, np.eye(4), frame, num_sweeps=args.num_sweeps,
-            complicated=args.complicated)
+            complicated=args.complicated, timestamps=sweep_ts,
+            points_per_beam=args.azimuth_steps)
         np.save(os.path.join(out, "ego_trace.npy"), trace)
+        # Synthesized per-sweep sensor poses: fixed frame-0 orientation +
+        # the trace translation (get_lidar2global, drop_simulation_rays.py:
+        # 171-199 rebuilds these from ego_trace downstream; persisting them
+        # here makes the ray-drop stages self-contained).
+        l2g = np.tile(np.eye(4, dtype=np.float64), (len(sweeps), 1, 1))
+        l2g[:, :3, 3] = trace[: len(sweeps)]
     sweeps = sweeps[: args.num_sweeps]
 
     renderer = ChunkRenderer(model, cfg, cfg.render_chunk_size)
-    sweep_dir = os.path.join(out, f"lidar_{args.mode}")
-    paths = render_sweeps_to_dir(renderer, params, sweeps, data.near,
-                                 data.far, frame, sweep_dir)
+    name = (f"lidar_{args.mode}" if args.obj_mode == "replay"
+            else f"lidar_{args.mode}_{args.obj_mode}")
+    sweep_dir = os.path.join(out, name)
+    paths = render_sweeps_to_dir(
+        renderer, params, sweeps, data.near, data.far, frame, sweep_dir,
+        tracks=jnp.asarray(tracks) if use_obj else None,
+        track_mask=jnp.asarray(track_mask) if use_obj else None)
+    # Per-sweep sensor poses alongside the trio: the ray-drop feature
+    # stage uses them to bring world-frame points into the sensor frame
+    # (reference nerf2world.nerf_to_lidar).
+    os.makedirs(sweep_dir, exist_ok=True)
+    np.save(os.path.join(sweep_dir, "lidar2globals.npy"),
+            l2g[: len(sweeps)])
     print(f"wrote {len(paths)} sweeps to {sweep_dir}")
 
 
@@ -645,14 +730,28 @@ def cmd_lidar_eval(args):
     from .data.batching import cast_lidar_rays
     from .utils import pc_metrics
 
+    import jax.numpy as jnp
+
     cfg = build_config(args)
     out = exp_dir(cfg)
     scene = load_scene_for(cfg, "lidar")
     data = scene.data
     if data.lidar_origins is None:
         raise SystemExit("scene has no LiDAR returns to replay")
-    model = Model(dataclasses.replace(cfg.model, instance_obj=False))
-    params, step = _restore_model_params(cfg, model, data)
+    # Full model: with instance_obj the loader keeps vehicle returns in the
+    # replay set (moving_mask off), so they must be scored against the
+    # object-composited field, not the static one.
+    tracks = getattr(scene, "tracks", None)
+    use_obj = tracks is not None and cfg.model.instance_obj
+    mcfg = dataclasses.replace(
+        cfg.model, instance_obj=use_obj,
+        num_objects=int(tracks.shape[0]) if use_obj else 0)
+    model = Model(mcfg)
+    tracks_j = jnp.asarray(tracks) if use_obj else None
+    mask_j = (jnp.asarray(scene.track_mask)
+              if use_obj and scene.track_mask is not None else None)
+    params, step = _restore_model_params(
+        dataclasses.replace(cfg, model=mcfg), model, data, args.allow_fresh)
     print(f"restored step {step}")
 
     o, d, gt_depth = (data.lidar_origins, data.lidar_dirs, data.lidar_depth)
@@ -671,7 +770,7 @@ def cmd_lidar_eval(args):
         rays["timestamp"] = ts.astype(np.float32)
 
     renderer = ChunkRenderer(model, cfg, cfg.render_chunk_size)
-    outr = renderer.render(params, rays)
+    outr = renderer.render(params, rays, tracks_j, mask_j)
     depth = outr["depth"].reshape(-1)
     err = np.abs(depth - gt_depth)
     pred_pts = o + depth[:, None] * rays["viewdirs"]
@@ -723,7 +822,8 @@ def cmd_render_instance(args):
                                num_objects=int(tracks.shape[0]))
     model = Model(mcfg)
     params, step = _restore_model_params(
-        dataclasses.replace(cfg, model=mcfg), model, scene.data)
+        dataclasses.replace(cfg, model=mcfg), model, scene.data,
+        args.allow_fresh)
     print(f"restored step {step}")
     frames = objlib.render_instance(
         model, params, args.track_id, height=args.size, width=args.size,
@@ -748,7 +848,8 @@ def cmd_extract(args):
     out = exp_dir(cfg)
     scene = load_scene_for(cfg, "train")
     model = Model(dataclasses.replace(cfg.model, instance_obj=False))
-    params, step = _restore_model_params(cfg, model, scene.data)
+    params, step = _restore_model_params(cfg, model, scene.data,
+                                         args.allow_fresh)
     print(f"restored step {step}")
     path = os.path.join(out, "mesh.ply")
     verts, faces, _ = extract_mesh(
@@ -777,30 +878,60 @@ def cmd_raydrop_train(args):
     print(f"raydrop checkpoints in {out}")
 
 
+def cmd_raydrop_features(args):
+    """Scene-scanning feature assembly (reference transfer_lidar_data.py:
+    15-66): pair each scene dir's real .bin sweeps with its rendered replay
+    sweeps, build the 6-channel feature stacks + GT masks/ranges, persist
+    one .npy dict that raydrop_train consumes. Repeatable
+    --pair scene_dir:sim_dir spans multiple scenes."""
+    from .raydrop import features as feat_lib
+
+    pairs = [p.split(":", 1) for p in args.pair or []]
+    if args.data_dir and args.sim_dir:
+        pairs.append([args.data_dir, args.sim_dir])
+    if not pairs:
+        raise SystemExit("need --pair scene_dir:sim_dir (repeatable) or "
+                         "--data_dir + --sim_dir")
+    sets = []
+    for scene_dir, sim_dir in pairs:
+        s = feat_lib.assemble_training_set(scene_dir, sim_dir,
+                                           h=args.height, w=args.width)
+        print(f"{scene_dir} + {sim_dir}: {s['images'].shape[0]} sweeps")
+        sets.append(s)
+    data = feat_lib.concat_training_sets(sets)
+    os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
+    np.save(args.out, data, allow_pickle=True)
+    print(f"wrote {data['images'].shape[0]} feature frames "
+          f"{data['images'].shape[1:]} to {args.out}")
+
+
 def cmd_raydrop_drop(args):
     from .raydrop.trainer import RayDropConfig, RayDropTrainer
+    from .raydrop import features as feat_lib
     from .raydrop import infer as infer_lib
+    from .lidar import export as export_lib
 
     cfg = RayDropConfig(vgg=False)
     trainer = RayDropTrainer(cfg)
     state = trainer.restore(args.ckpt, args.height, args.width)
-    sweeps = []
-    i = 0
-    while True:
-        p = os.path.join(args.simulation_path, f"points_{i:04d}.npy")
-        if not os.path.exists(p):
-            break
-        pts = np.load(p)
-        sem = np.load(os.path.join(args.simulation_path,
-                                   f"points_semantic_{i:04d}.npy"))
-        rgb_p = os.path.join(args.simulation_path,
-                             f"points_rgb_{i:04d}.npy")
-        rgb = np.load(rgb_p) if os.path.exists(rgb_p) \
-            else np.zeros((len(pts), 3), np.float32)
-        sweeps.append((pts, sem, rgb))
-        i += 1
+    sweeps, l2g = feat_lib.load_sim_sweep_dir(args.simulation_path)
+    if l2g is not None:
+        # Rendered points are world-frame; the range projection needs the
+        # sensor frame (nerf2world.nerf_to_lidar).
+        sweeps = [(feat_lib.world_points_to_sensor(p, l2g[min(i,
+                                                              len(l2g) - 1)]),
+                   s, r) for i, (p, s, r) in enumerate(sweeps)]
     n = infer_lib.drop_and_export(trainer, state, sweeps, args.out,
-                                  h=args.height, w=args.width)
+                                  h=args.height, w=args.width,
+                                  car_median_rule=args.place_car)
+    if l2g is not None:
+        # Sensor metadata for SemanticKITTI consumers (reference
+        # drop_simulation_rays.py:289-299 persists lidar2egos/ego2globals;
+        # this framework folds the ego into the sensor frame, so
+        # lidar2ego = I and ego2global = lidar2global).
+        export_lib.write_sensor_metadata(
+            args.out, np.tile(np.eye(4), (len(sweeps), 1, 1)),
+            l2g[: len(sweeps)])
     print(f"exported {n} sweeps to {args.out}")
 
 
@@ -818,10 +949,16 @@ def main(argv: Optional[List[str]] = None):
                                  "nuscenes_multi", "nuscenes_multi_fast",
                                  "nuscenes_single_mxu",
                                  "tiny_debug", "default"])
+        sp.add_argument("--config_json", default=None,
+                        help="load a config.json snapshot instead of a "
+                             "named base config (exact resume)")
         sp.add_argument("--data_dir", default=None)
         sp.add_argument("--exp_name", default=None)
         sp.add_argument("--set", action="append", default=[],
                         help="dotted config override key=value")
+        sp.add_argument("--allow_fresh", action="store_true",
+                        help="render from a fresh init when no checkpoint "
+                             "exists (debugging only)")
 
     sp = sub.add_parser("train")
     common(sp)
@@ -875,8 +1012,19 @@ def main(argv: Optional[List[str]] = None):
 
     sp = sub.add_parser("render_lidar")
     common(sp)
-    sp.add_argument("--mode", default="simu", choices=["replay", "simu"])
+    sp.add_argument("--mode", default="simu", choices=["replay", "simu"],
+                    help="trajectory: replay the real drive or simulate one")
+    sp.add_argument("--obj_mode", default="replay",
+                    choices=["replay", "laneshift", "removal", "rotate"],
+                    help="scene-edit mode applied to the dynamic-object "
+                         "tracks (reference config.simu_mode)")
+    sp.add_argument("--insert_track", default=None,
+                    help="npy track to insert into the scene")
     sp.add_argument("--num_sweeps", type=int, default=10)
+    sp.add_argument("--azimuth_steps", type=int,
+                    default=1100,
+                    help="azimuth samples per beam (32 beams x this = "
+                         "rays/sweep); lower for quick previews")
     sp.add_argument("--complicated", action="store_true")
     sp.add_argument("--start", type=float, nargs=3)
     sp.add_argument("--end", type=float, nargs=3)
@@ -916,12 +1064,26 @@ def main(argv: Optional[List[str]] = None):
                     help="converted rangenet backbone weights (.npz)")
     sp.set_defaults(fn=cmd_raydrop_train)
 
+    sp = sub.add_parser("raydrop_features")
+    sp.add_argument("--pair", action="append", default=[],
+                    help="scene_dir:rendered_sweep_dir, repeatable")
+    sp.add_argument("--data_dir", default=None)
+    sp.add_argument("--sim_dir", default=None,
+                    help="rendered sweep dir (e.g. exp/x/lidar_replay)")
+    sp.add_argument("--out", required=True, help="output features .npy")
+    sp.add_argument("--height", type=int, default=32)
+    sp.add_argument("--width", type=int, default=1024)
+    sp.set_defaults(fn=cmd_raydrop_features)
+
     sp = sub.add_parser("raydrop_drop")
     sp.add_argument("--ckpt", required=True)
     sp.add_argument("--simulation_path", required=True)
     sp.add_argument("--out", required=True)
     sp.add_argument("--height", type=int, default=32)
     sp.add_argument("--width", type=int, default=1024)
+    sp.add_argument("--place_car", action="store_true",
+                    help="per-image median car-probability keep rule "
+                         "(drop_simulation_rays.py:100-106)")
     sp.set_defaults(fn=cmd_raydrop_drop)
 
     args = p.parse_args(argv)

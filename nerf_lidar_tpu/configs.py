@@ -96,6 +96,14 @@ class MLPConfig:
     complex_decoder: bool = False
     latent_size: int = 0
     split_latent: bool = False
+    # Mixed precision (the TPU analog of the reference's autocast forward +
+    # half-precision embeddings, train.py:269 / grid.py:43-44): 'bfloat16'
+    # runs every MLP matmul and its activations in bf16 (params stay f32 —
+    # flax Dense casts per-call), halving activation HBM traffic and
+    # putting the MXU in its native dtype. Numerics that are
+    # precision-sensitive stay f32: sample positions, the encode, raw
+    # density -> softplus, and all compositing (exp/cumsum in render.py).
+    compute_dtype: str = "float32"  # 'float32' | 'bfloat16'
 
 
 @dataclasses.dataclass(frozen=True)
@@ -253,6 +261,13 @@ class Config:
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2, default=str)
 
+    @staticmethod
+    def from_dict(d: dict) -> "Config":
+        """Rebuild a Config from a `to_json` snapshot dict (exact-resume:
+        `cli train --config_json exp/<name>/config.json` re-runs with the
+        identical config, no flag reconstruction)."""
+        return _build_dataclass(Config, d)
+
     def validate(self) -> None:
         """Reject silently-wrong knob combinations.
 
@@ -282,6 +297,39 @@ class Config:
                 "obj_mlp.grid.diff_inputs=False requires track_refine and "
                 "pose_refine off: track deltas move object-frame sample "
                 "positions through the encode.")
+        if (self.model.instance_obj and self.model.use_semantic
+                and self.model.obj_mlp.class_num
+                != self.model.nerf_mlp.class_num):
+            raise ValueError(
+                f"obj_mlp.class_num={self.model.obj_mlp.class_num} must "
+                f"match nerf_mlp.class_num={self.model.nerf_mlp.class_num}: "
+                "object semantics composite into the field's class "
+                "probabilities.")
+
+
+def _build_dataclass(cls, d: dict):
+    """Recursively build a frozen-dataclass tree from an asdict() dict;
+    JSON lists become the tuples the fields declare. Unknown keys are
+    rejected (a snapshot from a different code version should fail loudly,
+    not half-apply)."""
+    import typing
+    hints = typing.get_type_hints(cls)
+    unknown = set(d) - {f.name for f in dataclasses.fields(cls)}
+    if unknown:
+        raise ValueError(f"unknown config keys for {cls.__name__}: "
+                         f"{sorted(unknown)}")
+    kw = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in d:
+            continue
+        v = d[f.name]
+        t = hints[f.name]
+        if dataclasses.is_dataclass(t) and isinstance(v, dict):
+            v = _build_dataclass(t, v)
+        elif isinstance(v, list):
+            v = tuple(v)
+        kw[f.name] = v
+    return cls(**kw)
 
 
 def nuscenes_single() -> Config:
@@ -382,6 +430,19 @@ def mxu_variant(base: Config) -> Config:
         prop_mlp=dataclasses.replace(base.model.prop_mlp, grid=prop_grid,
                                      ms_coarse_res_cutoff=1024),
     )
+    return dataclasses.replace(base, model=model)
+
+
+def bf16_variant(base: Config) -> Config:
+    """Run every MLP's matmuls/activations in bfloat16 (params f32; encode,
+    density softplus, and compositing stay f32 — see MLPConfig.compute_dtype).
+    Composable with any field: bf16_variant(nuscenes_single_mxu())."""
+    m = base.model
+    model = dataclasses.replace(
+        m,
+        nerf_mlp=dataclasses.replace(m.nerf_mlp, compute_dtype="bfloat16"),
+        prop_mlp=dataclasses.replace(m.prop_mlp, compute_dtype="bfloat16"),
+        obj_mlp=dataclasses.replace(m.obj_mlp, compute_dtype="bfloat16"))
     return dataclasses.replace(base, model=model)
 
 

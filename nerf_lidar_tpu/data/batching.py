@@ -162,7 +162,10 @@ class RayBatcher:
                               if s.lidar_intensity is not None
                               else np.zeros(num, np.float32))
         batch["exclude"] = np.zeros(num, bool)
-        batch["cam_idx"] = np.zeros((num, 1), np.int32)
+        # LiDAR rays get their own posenet slot AFTER the camera rows
+        # (reference train.py:210 routes lidar rays via a per-lidar glo_idx;
+        # LearnPose(num_cams, num_lidars=1) reserves row num_cams for it).
+        batch["cam_idx"] = np.full((num, 1), s.num_views, np.int32)
         batch["timestamp"] = (s.lidar_timestamps[idx].astype(np.float32)
                               if s.lidar_timestamps is not None
                               else np.zeros(num, np.float32))

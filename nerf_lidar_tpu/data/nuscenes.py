@@ -399,8 +399,13 @@ def load_scene(root_dir: str, split: str = "train", factor: int = 1,
                                    "timestamps.txt")
             if os.path.exists(lt_file):
                 raw = np.loadtxt(lt_file)
-                lidar_ts = ((raw - time_scale[0]) / time_scale[1])[
-                    lidar["frame_ids"]]
+                # Per-sweep scene-normalized times: the LIDAR-split render
+                # path stamps sweep i with these so object pose
+                # interpolation works (reference datasets.py:637,703-704).
+                sweep_ts = ((raw - time_scale[0])
+                            / time_scale[1]).astype(np.float32)
+                lidar["sweep_timestamps"] = sweep_ts
+                lidar_ts = sweep_ts[lidar["frame_ids"]]
             lidar_fields = dict(
                 lidar_origins=lidar["origins"], lidar_dirs=lidar["dirs"],
                 lidar_depth=lidar["depth"],

@@ -125,11 +125,20 @@ def simulated_sweeps(start_world: np.ndarray, end_world: np.ndarray,
                      num_sweeps: int = 100, complicated: bool = False,
                      seed: int = 0,
                      elevations_deg=NUSC_ELEVATIONS_DEG,
-                     points_per_beam: int = POINTS_PER_BEAM
+                     points_per_beam: int = POINTS_PER_BEAM,
+                     timestamps: Optional[np.ndarray] = None
                      ) -> Tuple[List[Sweep], np.ndarray]:
     """Synthetic ego trajectory: straight line from start to end (optionally
     laterally perturbed), fixed sensor orientation from frame 0
-    (lidar_utils.py:103-190). Returns (sweeps, ego_trace_world [S+1, 3])."""
+    (lidar_utils.py:103-190). Returns (sweeps, ego_trace_world [S+1, 3]).
+
+    `timestamps` (scene-normalized seconds, one per sweep) place dynamic
+    objects along the simulated drive — the reference stamps simu batches
+    with the real per-sweep lidar timestamps (datasets.py:703-704,
+    `lidar_timestamps[lidar_idx]`); sweeps past the recorded range clamp to
+    the last timestamp (objects hold their final pose, obj_utils.get_pose's
+    out-of-range behavior). Without timestamps, sweeps are stamped 0..S-1
+    (only meaningful for object-free scenes)."""
     p0 = frame.world_to_scene_points(start_world)
     p1 = frame.world_to_scene_points(end_world)
     interval = np.linspace(0, 1, num_sweeps + 1)[:, None] * (p1 - p0)[None]
@@ -152,5 +161,9 @@ def simulated_sweeps(start_world: np.ndarray, end_world: np.ndarray,
     for i in range(num_sweeps):
         origins = rolling_origins(trace_scene[i], trace_scene[i + 1],
                                   points_per_beam, len(elevations_deg))
-        sweeps.append(Sweep(origins, d_scene, float(i)))
+        if timestamps is not None:
+            ts = float(timestamps[min(i, len(timestamps) - 1)])
+        else:
+            ts = float(i)
+        sweeps.append(Sweep(origins, d_scene, ts))
     return sweeps, ego_trace_world

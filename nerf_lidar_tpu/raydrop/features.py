@@ -93,6 +93,94 @@ def simulated_sweep_features(points: np.ndarray, semantic: np.ndarray,
     return dict(features=feats, mask=img.mask, proj=img)
 
 
+def world_points_to_sensor(points: np.ndarray,
+                           lidar2global: np.ndarray) -> np.ndarray:
+    """World/global frame -> sensor frame: R^T (p - t)
+    (reference nerf2world.nerf_to_lidar inverse transform chain)."""
+    R = lidar2global[:3, :3]
+    t = lidar2global[:3, 3]
+    return ((points - t) @ R).astype(np.float32)
+
+
+def load_sim_sweep_dir(sim_dir: str):
+    """Read a rendered sweep dir (the points/semantic/rgb trio written by
+    cli render_lidar) + the persisted per-sweep sensor poses.
+
+    Returns (sweeps list of (points_world, semantic, rgb), l2g [S,4,4] or
+    None)."""
+    import os
+    sweeps = []
+    i = 0
+    while True:
+        p = os.path.join(sim_dir, f"points_{i:04d}.npy")
+        if not os.path.exists(p):
+            break
+        pts = np.load(p)
+        sem = np.load(os.path.join(sim_dir, f"points_semantic_{i:04d}.npy"))
+        rgb_p = os.path.join(sim_dir, f"points_rgb_{i:04d}.npy")
+        rgb = (np.load(rgb_p) if os.path.exists(rgb_p)
+               else np.zeros((len(pts), 3), np.float32))
+        sweeps.append((pts, sem, rgb))
+        i += 1
+    l2g_p = os.path.join(sim_dir, "lidar2globals.npy")
+    l2g = np.load(l2g_p) if os.path.exists(l2g_p) else None
+    return sweeps, l2g
+
+
+def _read_moving_boxes(scene_dir: str, index: int):
+    import os
+    mask_file = os.path.join(scene_dir, "lidar_mask", f"{index:04d}.txt")
+    if not os.path.exists(mask_file):
+        return None
+    with open(mask_file) as f:
+        rows = f.readlines()
+    if not rows:
+        return None
+    return np.array([r.split()[1:] for r in rows]).astype(
+        np.float32).reshape(-1, 8, 3)
+
+
+def assemble_training_set(scene_dir: str, sim_dir: str, h: int = 32,
+                          w: int = 1024, **sim_kwargs
+                          ) -> Dict[str, np.ndarray]:
+    """End-to-end assembly for ONE scene: pair rendered replay sweeps with
+    the scene's real .bin sweeps and build the feature/mask/range stacks
+    (reference transfer_lidar_data.load_data, :15-66: generate_gt_data on
+    the real bins + generate_simulation_data on the rendered trio).
+
+    Real sweeps: moving points removed via the lidar_mask box hulls, 3-100 m
+    gated (read_lidar_bin). Sim sweeps: world-frame trio brought into each
+    sweep's sensor frame via the persisted lidar2globals."""
+    import os
+    from ..data import nuscenes as nusc
+
+    sim_sweeps, l2g = load_sim_sweep_dir(sim_dir)
+    if not sim_sweeps:
+        raise FileNotFoundError(f"no points_*.npy sweeps in {sim_dir}")
+    sims, reals = [], []
+    for i, (pts, sem, rgb) in enumerate(sim_sweeps):
+        bin_path = os.path.join(scene_dir, "lidar_points", f"{i:06d}.bin")
+        if not os.path.exists(bin_path):
+            break
+        depth, dirs, _ = nusc.read_lidar_bin(bin_path,
+                                             _read_moving_boxes(scene_dir, i))
+        reals.append(dirs * depth[:, None])
+        if l2g is not None:
+            pts = world_points_to_sensor(pts, l2g[min(i, len(l2g) - 1)])
+        sims.append((pts, sem, rgb))
+    if not reals:
+        raise FileNotFoundError(
+            f"no paired real sweeps under {scene_dir}/lidar_points — the "
+            "training set needs GT return masks (render with --mode replay)")
+    return build_training_set(sims, reals, h=h, w=w, **sim_kwargs)
+
+
+def concat_training_sets(sets) -> Dict[str, np.ndarray]:
+    """Stack per-scene training sets (transfer_lidar_data scans scenes)."""
+    keys = sets[0].keys()
+    return {k: np.concatenate([s[k] for s in sets], axis=0) for k in keys}
+
+
 def build_training_set(sim_sweeps, real_sweeps, h: int = 32, w: int = 1024,
                        **sim_kwargs) -> Dict[str, np.ndarray]:
     """Assemble the trainer's dataset from per-frame (points, semantic, rgb)

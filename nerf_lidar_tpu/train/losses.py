@@ -220,7 +220,14 @@ def hash_decay_loss(params, config: Config):
         loss = loss + one(p[f"prop_mlps_{i}"]["table"],
                           mcfg.prop_mlp_for_level(i).grid)
     if mcfg.instance_obj and mcfg.num_objects > 0 and not config.obj_nodecay:
-        loss = loss + one(p["obj_mlp"]["table"], mcfg.obj_mlp.grid)
+        if mcfg.obj_class_ids:
+            # Per-class obj MLPs are registered as obj_mlp_cls{k}
+            # (models/model.py setup), one table per distinct class.
+            for k in sorted(set(mcfg.obj_class_ids)):
+                loss = loss + one(p[f"obj_mlp_cls{int(k)}"]["table"],
+                                  mcfg.obj_mlp.grid)
+        else:
+            loss = loss + one(p["obj_mlp"]["table"], mcfg.obj_mlp.grid)
     return config.hash_decay_mults * loss
 
 

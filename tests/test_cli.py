@@ -77,3 +77,43 @@ def test_follow_checkpoints_trusts_returned_step(tmp_path):
     follow_checkpoints(d, eval_fn, poll_every=0.05, timeout=1.0,
                        stop_step=20)
     assert calls == [10], calls
+
+
+def test_config_json_snapshot_roundtrip(tmp_path):
+    # --config_json exact-resume: a to_json snapshot rebuilds the identical
+    # Config (lists -> declared tuples, nested dataclasses); fields added
+    # after the snapshot was written fill from defaults; unknown keys fail
+    # loudly instead of half-applying.
+    import dataclasses
+    import json
+
+    import pytest
+
+    from nerf_lidar_tpu import configs
+
+    cfg = dataclasses.replace(
+        configs.nuscenes_single_fast(), exp_name="snap", batch_size=1234,
+        pulse_width=(0.05, 0.004))
+    d = json.loads(cfg.to_json())
+    assert configs.Config.from_dict(d) == cfg
+
+    d_old = json.loads(cfg.to_json())
+    del d_old["model"]["nerf_mlp"]["grid"]["fourier_freqs"]  # older snapshot
+    got = configs.Config.from_dict(d_old)
+    assert got.model.nerf_mlp.grid.fourier_freqs == \
+        configs.GridConfig().fourier_freqs
+
+    d_bad = json.loads(cfg.to_json())
+    d_bad["no_such_knob"] = 1
+    with pytest.raises(ValueError, match="no_such_knob"):
+        configs.Config.from_dict(d_bad)
+
+    # CLI plumb-through: build_config honors --config_json + overrides.
+    from nerf_lidar_tpu import cli as cli_mod
+    p = tmp_path / "config.json"
+    p.write_text(cfg.to_json())
+    ns = type("A", (), dict(config_json=str(p), set=["batch_size=64"],
+                            data_dir=None, exp_name="resumed"))()
+    built = cli_mod.build_config(ns)
+    assert built.batch_size == 64 and built.exp_name == "resumed"
+    assert built.model == cfg.model

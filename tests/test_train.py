@@ -196,3 +196,83 @@ def test_restore_model_params_from_refined_checkpoint(tmp_path):
     assert step2 == 3 and len(jax.tree.leaves(got2)) == len(want)
     # Missing checkpoint -> (None, 0).
     assert checkpoints.restore_model_params(str(tmp_path / "nope"))[0] is None
+
+def test_hash_decay_loss_with_per_class_obj_mlps():
+    # Regression: with obj_class_ids set, param subtrees are named
+    # obj_mlp_cls{k}; hash_decay_loss must iterate them (it used to
+    # KeyError on "obj_mlp" whenever obj_nodecay=False).
+    cfg = configs.tiny_debug()
+    obj_grid = configs.GridConfig(level_dim=2, base_resolution=4,
+                                  desired_resolution=16,
+                                  log2_hashmap_size=8)
+    mcfg = dataclasses.replace(
+        cfg.model, instance_obj=True, num_objects=2,
+        obj_class_ids=(3, 7),
+        obj_mlp=dataclasses.replace(cfg.model.obj_mlp, grid=obj_grid,
+                                    class_num=5, class_type=3))
+    cfg = dataclasses.replace(cfg, model=mcfg, obj_nodecay=False)
+    model = Model(mcfg)
+    tracks = np.zeros((2, 3, 9), np.float32)
+    tracks[:, :, 4:7] = 0.5
+    tracks[:, :, -2] = np.arange(3)
+    batch = {
+        "origins": jnp.zeros((4, 3)), "directions": jnp.ones((4, 3)),
+        "viewdirs": jnp.ones((4, 3)), "base_x": jnp.ones((4, 3)),
+        "base_y": jnp.ones((4, 3)), "radii": jnp.full((4, 1), 1e-3),
+        "near": jnp.full((4, 1), 0.2), "far": jnp.full((4, 1), 6.0),
+        "timestamp": jnp.zeros(4)}
+    params = model.init(jax.random.PRNGKey(0), None, batch,
+                        tracks=jnp.asarray(tracks),
+                        track_mask=jnp.asarray([True, True]))
+    loss = losses_lib.hash_decay_loss(params, cfg)
+    assert np.isfinite(float(loss))
+    # Shared-MLP path still works.
+    mcfg_shared = dataclasses.replace(mcfg, obj_class_ids=())
+    model_s = Model(mcfg_shared)
+    params_s = model_s.init(jax.random.PRNGKey(0), None, batch,
+                            tracks=jnp.asarray(tracks),
+                            track_mask=jnp.asarray([True, True]))
+    loss_s = losses_lib.hash_decay_loss(
+        params_s, dataclasses.replace(cfg, model=mcfg_shared))
+    assert np.isfinite(float(loss_s))
+
+
+def test_lidar_rays_use_posenet_lidar_slot():
+    # LiDAR rays must carry cam_idx == num_views so LearnPose(num_cams,
+    # num_lidars=1) routes them to the reserved per-lidar row
+    # (reference train.py:210), not camera 0's delta.
+    _, data, _ = synthetic.make_scene_data(num_views=4, height=16, width=16,
+                                           focal=16.0, with_lidar=True,
+                                           far=10.0)
+    batcher = RayBatcher(data, 64, 1, lidar_supervision=True, seed=0)
+    batch = batcher.next()
+    lidar = batch["lidar_mask"]
+    assert lidar.sum() > 0
+    assert (batch["cam_idx"][lidar, 0] == data.num_views).all()
+    assert (batch["cam_idx"][~lidar, 0] < data.num_views).all()
+
+def test_async_checkpointer_survives_donation(tmp_path):
+    # The async save must snapshot on-device BEFORE the trainer donates its
+    # state buffers to the next step: save, immediately run donating steps,
+    # then verify the written checkpoint holds the pre-step values.
+    cfg, model, batcher, state, tx = _setup()
+    step_fn = train_step.make_train_step(
+        model, tx, cfg, donate=True, num_patch_rays=batcher.num_patch_rays)
+    d = str(tmp_path)
+    ck = checkpoints.AsyncCheckpointer()
+    saved_params = jax.device_get(state.params)
+    ck.save(d, state, 1)
+    key = jax.random.PRNGKey(0)
+    for _ in range(3):  # donates `state` each call
+        batch = jax.tree.map(jnp.asarray, batcher.next())
+        key, sub = jax.random.split(key)
+        state, _ = step_fn(state, batch, sub, None, None)
+    ck.wait()
+    restored, step = checkpoints.restore_checkpoint(d, state)
+    assert step == 1
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), saved_params, restored.params)
+    # Errors in the writer surface on wait(), not silently.
+    ck.save("/nonexistent-root-dir-\0bad", state, 2)
+    with pytest.raises(BaseException):
+        ck.wait()
