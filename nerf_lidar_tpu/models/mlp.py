@@ -48,6 +48,12 @@ class ZipMLP(nn.Module):
 
     def setup(self):
         c = self.cfg
+        # Mixed-precision policy: matmuls + activations in compute_dtype
+        # (params stay f32); encode, raw density, and every head's final
+        # nonlinearity stay f32 (see configs.MLPConfig.compute_dtype).
+        dt = (jnp.bfloat16 if c.compute_dtype == "bfloat16"
+              else jnp.float32)
+        self._dt = dt
         # 'dense_fourier': the grid keeps only the dense tiled band (rows
         # below the v5e gather cliff); the hashed high-res band becomes
         # MXU-resident Fourier features (ops/fourier.py).
@@ -80,41 +86,43 @@ class ZipMLP(nn.Module):
             trunk_widths = (64,)
         layers = []
         for w in trunk_widths:
-            layers.append(nn.Dense(w))
+            layers.append(nn.Dense(w, dtype=dt))
         layers.append(nn.Dense(
-            width_out,
+            width_out, dtype=dt,
             bias_init=(nn.initializers.constant(0.1) if c.density_init
                        else nn.initializers.zeros)))
         self.density_layers = layers
 
         if c.enable_pred_normals:
-            self.normal_layer = nn.Dense(3)
+            self.normal_layer = nn.Dense(3, dtype=dt)
 
         if not c.disable_rgb:
             if c.num_glo_features > 0:
                 glo = []
                 for _ in range(c.net_depth_glo - 1):
-                    glo.append(nn.Dense(c.net_width_glo))
-                glo.append(nn.Dense(c.bottleneck_width * 2))
+                    glo.append(nn.Dense(c.net_width_glo, dtype=dt))
+                glo.append(nn.Dense(c.bottleneck_width * 2, dtype=dt))
                 self.glo_layers = glo
 
             if c.use_diffuse_color:
-                self.diffuse_layer = nn.Dense(c.num_rgb_channels)
+                self.diffuse_layer = nn.Dense(c.num_rgb_channels, dtype=dt)
             if c.use_specular_tint:
-                self.specular_layer = nn.Dense(3)
+                self.specular_layer = nn.Dense(3, dtype=dt)
             if c.enable_pred_roughness:
-                self.roughness_layer = nn.Dense(1)
+                self.roughness_layer = nn.Dense(1, dtype=dt)
 
             kaiming = nn.initializers.kaiming_uniform()
             self.view_layers = [
-                nn.Dense(c.net_width_viewdirs, kernel_init=kaiming)
+                nn.Dense(c.net_width_viewdirs, kernel_init=kaiming, dtype=dt)
                 for _ in range(c.net_depth_viewdirs)]
-            self.rgb_layer = nn.Dense(c.num_rgb_channels)
+            self.rgb_layer = nn.Dense(c.num_rgb_channels, dtype=dt)
 
             if c.use_semantic and not c.no_sem_layer and not c.fixed_semantic:
-                self.sem_layers = [nn.Dense(64), nn.Dense(c.class_num)]
+                self.sem_layers = [nn.Dense(64, dtype=dt),
+                   nn.Dense(c.class_num, dtype=dt)]
             if c.use_intensity:
-                self.intensity_layers = [nn.Dense(64), nn.Dense(1)]
+                self.intensity_layers = [nn.Dense(64, dtype=dt),
+                         nn.Dense(1, dtype=dt)]
 
         if self.cfg.use_directional_enc:
             self._ide_fn = ref_utils.generate_ide_fn(self.cfg.deg_view)
@@ -187,7 +195,9 @@ class ZipMLP(nn.Module):
             x = layer(x)
             if i != len(self.density_layers) - 1:
                 x = nn.relu(x)
-        raw_density = x[..., 0]
+        # Raw density leaves the mixed-precision domain here: softplus +
+        # compositing run f32 (bf16 exp/cumsum visibly biases weights).
+        raw_density = x[..., 0].astype(jnp.float32)
         if key is not None and c.density_noise > 0:
             raw_density = raw_density + c.density_noise * jax.random.normal(
                 key, raw_density.shape)
@@ -219,7 +229,7 @@ class ZipMLP(nn.Module):
                    raw_grad_density=None, grad_pred=None)
 
         if c.enable_pred_normals:
-            grad_pred = self.normal_layer(x)
+            grad_pred = self.normal_layer(x).astype(jnp.float32)
             out["grad_pred"] = grad_pred
             out["normals_pred"] = -_l2_normalize(grad_pred)
         normals_to_use = (out["normals_pred"]
@@ -232,7 +242,8 @@ class ZipMLP(nn.Module):
         # Semantic head (reference models.py:1124-1137).
         if c.use_semantic:
             if c.fixed_semantic:
-                sem = jnp.zeros(x.shape[:-1] + (c.class_num,), x.dtype)
+                sem = jnp.zeros(x.shape[:-1] + (c.class_num,),
+                                jnp.float32)
                 if c.class_type != 255:
                     sem = sem.at[..., c.class_type].set(1.0)
                 sem = jax.lax.stop_gradient(sem)
@@ -242,12 +253,12 @@ class ZipMLP(nn.Module):
                 else:
                     h = nn.relu(self.sem_layers[0](x))
                     sem = self.sem_layers[1](h)  # v3: separate head
-                sem = jax.nn.softmax(sem, axis=-1)
+                sem = jax.nn.softmax(sem.astype(jnp.float32), axis=-1)
             out["semantic"] = sem
 
         if c.use_intensity:
             h = nn.relu(self.intensity_layers[0](x))
-            out["intensity"] = self.intensity_layers[1](h)
+            out["intensity"] = self.intensity_layers[1](h).astype(jnp.float32)
 
         bottleneck = x
         if key is not None and c.bottleneck_noise > 0:
@@ -318,8 +329,9 @@ class ZipMLP(nn.Module):
             if i == c.skip_layer_dir:
                 h = jnp.concatenate([h, inputs], axis=-1)
 
-        rgb = jax.nn.sigmoid(c.rgb_premultiplier * self.rgb_layer(h)
-                             + c.rgb_bias)
+        rgb = jax.nn.sigmoid(
+            c.rgb_premultiplier * self.rgb_layer(h).astype(jnp.float32)
+            + c.rgb_bias)
         if c.use_diffuse_color:
             # Combine diffuse + specular and tone map (models.py:1238-1248).
             diffuse_linear = jax.nn.sigmoid(raw_rgb_diffuse - np.log(3.0))

@@ -81,7 +81,8 @@ class Model(nn.Module):
                  train_frac: float = 1.0, compute_extras: bool = False,
                  zero_glo: bool = True, train: bool = False,
                  tracks: Optional[jax.Array] = None,
-                 track_mask: Optional[jax.Array] = None):
+                 track_mask: Optional[jax.Array] = None,
+                 fused_final: bool = False):
         """Render a batch of rays.
 
         batch: dict of [R, ...] arrays: origins, directions, viewdirs,
@@ -89,6 +90,11 @@ class Model(nn.Module):
           cam_idx [R,1] (GLO), timestamp [R] (dynamic objects).
         tracks: [num_objects, T, 8] padded track tensor (see objects.py);
         track_mask: [num_objects] validity.
+        fused_final: inference-only — composite the final level with the
+          Pallas fused kernel (ops/render_pallas.py): one VMEM pass instead
+          of HBM round-trips for the [R, S] weights/trans intermediates.
+          Requires compute_extras=False, no training gradients, a constant
+          background, and flat [R, ...] ray batches.
         Returns (renderings: list of dicts per level, ray_history).
         """
         c = self.cfg
@@ -212,10 +218,6 @@ class Model(nn.Module):
                     rgb = rgb * scaling[..., None, :]
                 ray_results["rgb"] = rgb
 
-            weights, _, _ = render.compute_alpha_weights(
-                ray_results["density"], tdist, batch["directions"],
-                opaque_background=c.opaque_background)
-
             if c.bg_intensity_range[0] == c.bg_intensity_range[1]:
                 bg_rgbs = c.bg_intensity_range[0]
             elif key is None:
@@ -225,19 +227,40 @@ class Model(nn.Module):
                 key, sub = jax.random.split(key)
                 minval, maxval = c.bg_intensity_range
                 bg_rgbs = jax.random.uniform(
-                    sub, weights.shape[:-1] + (3,),
+                    sub, batch["near"].shape[:-1] + (3,),
                     minval=minval, maxval=maxval)
 
             is_final = i_level == num_levels - 1
             sem = ray_results["semantic"] if (is_final and c.use_semantic) else None
             intensity = (ray_results["intensity"]
                          if (is_final and c.use_intensity) else None)
-            rendering = render.volumetric_rendering(
-                ray_results["rgb"], weights, tdist, bg_rgbs, batch["far"],
-                compute_extras, semantic=sem, intensity=intensity,
-                extras={k: v for k, v in ray_results.items()
-                        if k.startswith("normals") and v is not None},
-                sem_detach=c.sem_detach)
+            use_fused = (fused_final and is_final and not compute_extras
+                         and not train and np.isscalar(bg_rgbs)
+                         and ray_results["density"].ndim == 2)
+            if use_fused:
+                from ..ops import render_pallas
+                inten = intensity
+                if inten is not None and inten.ndim == 3:
+                    inten = inten[..., 0]
+                fused = render_pallas.fused_composite(
+                    ray_results["density"], tdist, batch["directions"],
+                    ray_results["rgb"], semantic=sem, intensity=inten,
+                    opaque_background=c.opaque_background,
+                    bg_value=float(bg_rgbs))
+                weights = fused.pop("weights")
+                fused.pop("acc", None)
+                rendering = fused
+            else:
+                weights, _, _ = render.compute_alpha_weights(
+                    ray_results["density"], tdist, batch["directions"],
+                    opaque_background=c.opaque_background)
+                rendering = render.volumetric_rendering(
+                    ray_results["rgb"], weights, tdist, bg_rgbs,
+                    batch["far"], compute_extras, semantic=sem,
+                    intensity=intensity,
+                    extras={k: v for k, v in ray_results.items()
+                            if k.startswith("normals") and v is not None},
+                    sem_detach=c.sem_detach)
 
             if use_obj and "obj_mask" in ray_results:
                 rendering["obj_mask"] = ray_results["obj_mask"].sum(-1) > 0

@@ -30,7 +30,8 @@ def _interpret() -> bool:
 
 def _composite_kernel(density_ref, tdist_ref, dirnorm_ref, rgb_ref, sem_ref,
                       int_ref, rgb_out, depth_out, acc_out, sem_out, int_out,
-                      weights_out, *, opaque_background: bool, num_sem: int):
+                      weights_out, *, opaque_background: bool, num_sem: int,
+                      bg_value: float):
     density = density_ref[:]           # [R, S]
     tdist = tdist_ref[:]               # [R, S+1]
     dirnorm = dirnorm_ref[:]           # [R, 1]
@@ -64,10 +65,10 @@ def _composite_kernel(density_ref, tdist_ref, dirnorm_ref, rgb_ref, sem_ref,
     depth_out[:] = ((weights * t_mids).sum(axis=1, keepdims=True)
                     / jnp.maximum(acc, _EPS))
 
-    # rgb: [R, S, 3] composited + white background on the residual.
+    # rgb: [R, S, 3] composited + constant background on the residual.
     rgb = rgb_ref[:]
     bg_w = jnp.maximum(1.0 - acc, 0.0)
-    rgb_out[:] = (weights[..., None] * rgb).sum(axis=1) + bg_w
+    rgb_out[:] = (weights[..., None] * rgb).sum(axis=1) + bg_w * bg_value
 
     sem = sem_ref[:]
     sem_out[:] = (weights[..., None] * sem).sum(axis=1)
@@ -78,7 +79,8 @@ def fused_composite(density: jax.Array, tdist: jax.Array, dirs: jax.Array,
                     rgb: jax.Array, semantic: Optional[jax.Array] = None,
                     intensity: Optional[jax.Array] = None,
                     opaque_background: bool = True,
-                    block_rays: int = 512) -> Dict[str, jax.Array]:
+                    block_rays: int = 512,
+                    bg_value: float = 1.0) -> Dict[str, jax.Array]:
     """density [R, S]; tdist [R, S+1]; dirs [R, 3]; rgb [R, S, 3];
     semantic [R, S, K] or None; intensity [R, S] or None.
     Returns dict(rgb, depth, acc, weights[, semantic][, intensity]).
@@ -105,7 +107,7 @@ def fused_composite(density: jax.Array, tdist: jax.Array, dirs: jax.Array,
 
     kernel = functools.partial(
         _composite_kernel, opaque_background=opaque_background,
-        num_sem=num_sem_eff)
+        num_sem=num_sem_eff, bg_value=bg_value)
 
     outs = pl.pallas_call(
         kernel,

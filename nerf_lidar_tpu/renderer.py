@@ -28,18 +28,26 @@ class ChunkRenderer:
     """Compile-once chunked renderer over ray pytrees."""
 
     def __init__(self, model, config, chunk_size: int = 16384, mesh=None,
-                 compute_extras: bool = False):
+                 compute_extras: bool = False, fused=None):
         self.model = model
         self.config = config
         self.chunk = chunk_size
         self.mesh = mesh
         self.compute_extras = compute_extras
+        # Final-level compositing via the Pallas fused kernel
+        # (ops/render_pallas.py): saves the [R, S] weights/trans HBM
+        # round-trips on the inference hot path. Auto: on for real TPU
+        # backends, off elsewhere (the interpret-mode fallback is for
+        # correctness tests, not speed). Pass True/False to force.
+        if fused is None:
+            fused = jax.default_backend() == "tpu"
+        self.fused = bool(fused) and not compute_extras
 
         def apply_fn(params, batch, tracks, track_mask):
             renderings, _ = model.apply(
                 params, None, batch, train_frac=1.0,
                 compute_extras=compute_extras, tracks=tracks,
-                track_mask=track_mask)
+                track_mask=track_mask, fused_final=self.fused)
             out = renderings[-1]
             keep = {k: v for k, v in out.items()
                     if isinstance(v, jax.Array) and not k.startswith("ray_")}

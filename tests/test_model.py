@@ -194,3 +194,39 @@ def test_mxu_config_model_trains():
             l0 = float(stats["loss"])
     assert np.isfinite(float(stats["loss"]))
     assert float(stats["loss"]) < l0 * 1.5
+
+
+def test_bf16_compute_policy_close_to_f32_and_trains():
+    # Mixed precision (MLPConfig.compute_dtype='bfloat16'): same params
+    # (f32 leaves), outputs close to the f32 path, finite f32 grads.
+    import dataclasses
+
+    import chex
+
+    cfg = configs.tiny_debug()
+    cfg16 = configs.bf16_variant(cfg)
+    model32 = Model(cfg.model)
+    model16 = Model(cfg16.model)
+    batch = _make_batch(R=64)
+    params = jax.jit(model32.init)(jax.random.PRNGKey(0), None, batch)
+    # Param trees are identical (policy changes compute, not storage).
+    p16 = jax.jit(model16.init)(jax.random.PRNGKey(0), None, batch)
+    chex.assert_trees_all_equal_shapes_and_dtypes(params, p16)
+    assert all(l.dtype == jnp.float32 for l in jax.tree.leaves(params))
+
+    r32, _ = model32.apply(params, None, batch, train_frac=1.0)
+    r16, _ = model16.apply(params, None, batch, train_frac=1.0)
+    out32, out16 = r32[-1], r16[-1]
+    assert out16["rgb"].dtype == jnp.float32
+    np.testing.assert_allclose(out16["rgb"], out32["rgb"], atol=0.06)
+    np.testing.assert_allclose(out16["depth"], out32["depth"], atol=0.25)
+
+    def loss(p):
+        r, _ = model16.apply(p, None, batch, train_frac=1.0)
+        return jnp.mean(r[-1]["rgb"] ** 2) + jnp.mean(r[-1]["depth"])
+
+    g = jax.grad(loss)(params)
+    leaves = jax.tree.leaves(g)
+    assert all(l.dtype == jnp.float32 for l in leaves)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert any(np.abs(np.asarray(l)).max() > 0 for l in leaves)

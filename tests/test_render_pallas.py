@@ -66,3 +66,41 @@ def test_tile_lane_gather():
     out = tile_lane_gather(tbl, idx)
     want = np.take_along_axis(np.asarray(tbl), np.asarray(idx), axis=1)
     np.testing.assert_allclose(np.asarray(out), want)
+
+
+def test_chunk_renderer_fused_path_matches_plain():
+    # The fused kernel is ON the inference hot path (ChunkRenderer
+    # fused=True -> Model fused_final): full-model render must match the
+    # plain compositing path bit-for-bit-ish, including semantics and the
+    # constant background.
+    import dataclasses
+
+    from nerf_lidar_tpu import configs
+    from nerf_lidar_tpu.models.model import Model
+    from nerf_lidar_tpu.renderer import ChunkRenderer
+
+    cfg = configs.tiny_debug()
+    cfg = dataclasses.replace(cfg, render_chunk_size=256)
+    model = Model(cfg.model)
+    rng = np.random.RandomState(3)
+    n = 300  # not a chunk multiple: exercises padding
+    d = rng.randn(n, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    bx = np.cross(d, [0, 0, 1.0]); bx /= np.linalg.norm(bx, -1, keepdims=True)
+    rays = dict(
+        origins=(rng.randn(n, 3) * 0.05).astype(np.float32),
+        directions=d, viewdirs=d, base_x=bx.astype(np.float32),
+        base_y=np.cross(d, bx).astype(np.float32),
+        radii=np.full((n, 1), 1e-3, np.float32),
+        near=np.full((n, 1), 0.2, np.float32),
+        far=np.full((n, 1), 8.0, np.float32),
+        timestamp=np.zeros(n, np.float32))
+    batch = {k: jnp.asarray(v) for k, v in rays.items()}
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), None, batch)
+
+    plain = ChunkRenderer(model, cfg, 256, fused=False).render(params, rays)
+    fused = ChunkRenderer(model, cfg, 256, fused=True).render(params, rays)
+    assert "semantic" in fused
+    for k in ("rgb", "depth", "semantic"):
+        np.testing.assert_allclose(fused[k], plain[k], rtol=2e-4, atol=2e-5,
+                                   err_msg=k)
