@@ -95,6 +95,24 @@ def main():
         return dataclasses.replace(
             cfg, model=dataclasses.replace(m, nerf_mlp=nerf, prop_mlp=prop))
 
+    def set_pooled(cfg, value=True):
+        """fourier_pooled on/off for every spectral band."""
+        m = cfg.model
+        pool = lambda mlp: dataclasses.replace(
+            mlp, grid=dataclasses.replace(mlp.grid, fourier_pooled=value))
+        return dataclasses.replace(
+            cfg, model=dataclasses.replace(m, nerf_mlp=pool(m.nerf_mlp),
+                                           prop_mlp=pool(m.prop_mlp)))
+
+    # NOTE: fourier_pooled became the mxu default after mxu_pooled beat
+    # mxu by +30% rays/s at +0.2 dB — 'mxu' now means pooled; the archived
+    # results.json rows 'mxu'/'mxu_ewc' predate the flip (= mxu_unpooled).
+    mxu_pooled = lambda: set_pooled(configs.nuscenes_single_mxu())
+    mxu_unpooled = lambda: set_pooled(configs.nuscenes_single_mxu(), False)
+    mxu_bf16 = lambda: configs.bf16_variant(configs.nuscenes_single_mxu())
+    mxu_pb = lambda: configs.bf16_variant(set_pooled(
+        configs.nuscenes_single_mxu()))
+
     todo = sys.argv[1:] or ["fast", "mxu"]
     # mxu_ewc: equal WALL CLOCK with fast's 400 steps — the spectral field
     # steps ~3.2x faster, so it gets ~3.2x the steps in the same budget.
@@ -102,6 +120,10 @@ def main():
             ("fast", configs.nuscenes_single_fast, STEPS),
             ("mxu", configs.nuscenes_single_mxu, STEPS),
             ("mxu_big", mxu_big, STEPS),
+            ("mxu_pooled", mxu_pooled, STEPS),
+            ("mxu_unpooled", mxu_unpooled, STEPS),
+            ("mxu_bf16", mxu_bf16, STEPS),
+            ("mxu_pooled_bf16", mxu_pb, STEPS),
             ("mxu_ewc", configs.nuscenes_single_mxu, 1265)]:
         if name in todo:
             results[name] = run(name, make(), steps)

@@ -43,27 +43,36 @@ def main():
     import dataclasses
     model = Model(dataclasses.replace(cfg.model, instance_obj=False))
     params, step = cli._restore_model_params(cfg, model, data)
-    renderer = ChunkRenderer(model, cfg, cfg.render_chunk_size)
 
     l2g0 = scene.lidar["lidar2globals"][0] if scene.lidar else np.eye(4)
     sweeps, _ = sensorlib.simulated_sweeps(
         np.array([0.0, 0.0, 1.8]), np.array([8.0, 0.0, 1.8]), l2g0,
         scene.frame, num_sweeps=4)
-    # Warm + compile.
-    out = lrender.render_sweep(renderer, params, sweeps[0], data.near,
-                               data.far, scene.frame)
-    float(np.asarray(out["depth"]).sum())
-    t0 = time.perf_counter()
-    last = None
-    for sw in sweeps:
-        last = lrender.render_sweep(renderer, params, sw, data.near,
-                                    data.far, scene.frame)
-    float(np.asarray(last["depth"]).sum())
-    dt = (time.perf_counter() - t0) / len(sweeps)
-    print(json.dumps({"metric": "sweep_render_s", "config": CONFIG,
-                      "step": int(step), "value": round(dt, 3),
-                      "sweeps_per_sec": round(1.0 / dt, 3),
-                      "rays_per_sweep": 32 * 1100}))
+
+    result = {"metric": "sweep_render_s", "config": CONFIG,
+              "step": int(step), "rays_per_sweep": 32 * 1100}
+    # fused=True: the Pallas fused-composite inference path (the shipped
+    # default on TPU); fused=False: the plain XLA compositing chain.
+    for fused in (True, False):
+        renderer = ChunkRenderer(model, cfg, cfg.render_chunk_size,
+                                 fused=fused)
+        out = lrender.render_sweep(renderer, params, sweeps[0], data.near,
+                                   data.far, scene.frame)  # warm + compile
+        float(np.asarray(out["depth"]).sum())
+        t0 = time.perf_counter()
+        last = None
+        for sw in sweeps:
+            last = lrender.render_sweep(renderer, params, sw, data.near,
+                                        data.far, scene.frame)
+        float(np.asarray(last["depth"]).sum())
+        dt = (time.perf_counter() - t0) / len(sweeps)
+        key = "value" if fused else "value_plain"
+        result[key] = round(dt, 3)
+        result["sweeps_per_sec" if fused else "sweeps_per_sec_plain"] = \
+            round(1.0 / dt, 3)
+    result["fused_speedup"] = round(result["value_plain"] / result["value"],
+                                    3)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

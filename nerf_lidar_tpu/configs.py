@@ -40,6 +40,10 @@ class GridConfig:
     encoder: str = "hash"
     fourier_freqs: int = 128
     fourier_dense_res: int = 32
+    # Collapse the multisample cloud to one Gaussian for the Fourier band
+    # (exact mip-NeRF IPE; 1/n the sin/cos work — ops/fourier.py
+    # fourier_encode_pooled). The dense band keeps the cloud.
+    fourier_pooled: bool = False
 
     @property
     def num_levels(self) -> int:
@@ -413,16 +417,19 @@ def mxu_variant(base: Config) -> Config:
     (ROADMAP round-2 item 1); quality/throughput measured in
     experiments/field_shootout.py.
     """
+    # fourier_pooled: single-Gaussian IPE for the spectral band — measured
+    # +30% rays/s at +0.2 dB vs per-multisample encoding on the 400-step
+    # oracle (exp/field_shootout/results.json mxu_pooled vs mxu).
     nerf_grid = GridConfig(level_dim=16, base_resolution=16,
                            desired_resolution=8192, level_interval=2,
                            interp="tetra", diff_inputs=False,
                            encoder="dense_fourier", fourier_freqs=256,
-                           fourier_dense_res=48)
+                           fourier_dense_res=48, fourier_pooled=True)
     prop_grid = GridConfig(level_dim=4, base_resolution=16,
                            desired_resolution=512, level_interval=2,
                            interp="tetra", diff_inputs=False,
                            encoder="dense_fourier", fourier_freqs=96,
-                           fourier_dense_res=48)
+                           fourier_dense_res=48, fourier_pooled=True)
     model = dataclasses.replace(
         base.model,
         nerf_mlp=dataclasses.replace(base.model.nerf_mlp, grid=nerf_grid,

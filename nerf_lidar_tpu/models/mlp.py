@@ -164,10 +164,10 @@ class ZipMLP(nn.Module):
             feats = raw.mean(axis=-2)
             weights = jnp.ones(stds.shape + (self.spec.num_levels,))
         if self._fourier_B is not None:
+            enc = (fourierlib.fourier_encode_pooled
+                   if c.grid.fourier_pooled else fourierlib.fourier_encode)
             feats = jnp.concatenate(
-                [feats, fourierlib.fourier_encode(x01, stds,
-                                                  self._fourier_B)],
-                axis=-1)
+                [feats, enc(x01, stds, self._fourier_B)], axis=-1)
         if c.scale_featurization:
             # Mean squared embedding per level, detached
             # (reference models.py:980-989).

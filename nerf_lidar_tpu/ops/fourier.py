@@ -59,3 +59,33 @@ def fourier_encode(x01: jax.Array, stds: jax.Array,
     feats = jnp.concatenate(
         [jnp.sin(phase) * damp, jnp.cos(phase) * damp], axis=-1)
     return feats.mean(axis=-2)
+
+
+def fourier_encode_pooled(x01: jax.Array, stds: jax.Array,
+                          freqs: jax.Array) -> jax.Array:
+    """Single-Gaussian IPE Fourier features (mip-NeRF eq. 7 proper).
+
+    Collapses the n-point multisample cloud to ONE isotropic Gaussian per
+    frustum — mean of means, variance = mean per-sample variance + spread
+    of the means — then takes the exact expectation under it:
+    E[sin(2 pi f.x)] = sin(2 pi f.mu) exp(-2 pi^2 sigma^2 |f|^2).
+
+    The cloud exists because hash grids cannot integrate analytically
+    (ZipNeRF's workaround); a spectral band can, so the n-fold sin/cos +
+    phase-matmul work is pure overhead here. 1/n the transcendentals and
+    matmul FLOPs of `fourier_encode`; differs from it only by Jensen-gap
+    terms of the same order as the multisample approximation itself
+    (measured on the oracle scene: equal-step PSNR within noise).
+
+    x01: [..., n, 3]; stds: [..., n]; freqs: [3, F]. Returns [..., 2F].
+    """
+    two_pi = 2.0 * jnp.pi
+    mu = x01.mean(axis=-2)                                   # [..., 3]
+    # Isotropic pooled variance: E[sigma_i^2] + per-axis spread of means.
+    spread = ((x01 - mu[..., None, :]) ** 2).mean(axis=(-2, -1))
+    sigma2 = (stds ** 2).mean(axis=-1) + spread              # [...]
+    phase = two_pi * (mu @ freqs)                            # [..., F]
+    f2 = jnp.sum(freqs * freqs, axis=0)                      # [F]
+    damp = jnp.exp(-0.5 * two_pi ** 2 * sigma2[..., None] * f2)
+    return jnp.concatenate([jnp.sin(phase) * damp,
+                            jnp.cos(phase) * damp], axis=-1)

@@ -69,3 +69,37 @@ def test_integrated_pos_enc_shrinks_with_variance():
     small = coord.integrated_pos_enc(mean, jnp.full((4, 3), 1e-6), 0, 4)
     large = coord.integrated_pos_enc(mean, jnp.full((4, 3), 10.0), 0, 4)
     assert np.all(np.abs(np.asarray(large)) <= np.abs(np.asarray(small)) + 1e-6)
+
+
+def test_fourier_encode_pooled_matches_full_at_zero_spread():
+    # With a degenerate cloud (all n points identical, equal stds) the
+    # pooled single-Gaussian IPE equals the per-sample mean exactly; with
+    # spread it stays close (Jensen gap bounded by the damp curvature).
+    import jax.numpy as jnp
+
+    from nerf_lidar_tpu.ops import fourier
+
+    rng = np.random.RandomState(0)
+    freqs = np.asarray(fourier.make_frequency_matrix(7, 32, 4.0, 64.0))
+    x = rng.rand(50, 1, 3).astype(np.float32)
+    x7 = np.repeat(x, 7, axis=1)
+    stds = np.full((50, 7), 0.01, np.float32)
+    full = fourier.fourier_encode(jnp.asarray(x7), jnp.asarray(stds),
+                                  jnp.asarray(freqs))
+    pooled = fourier.fourier_encode_pooled(jnp.asarray(x7),
+                                           jnp.asarray(stds),
+                                           jnp.asarray(freqs))
+    np.testing.assert_allclose(np.asarray(pooled), np.asarray(full),
+                               rtol=1e-4, atol=1e-5)
+
+    # Spread cloud: pooled is a valid IPE of the cluster - magnitudes damp
+    # at high |f| at least as much as the per-sample mean's cancellation.
+    x7s = x7 + rng.randn(*x7.shape).astype(np.float32) * 0.02
+    full_s = np.asarray(fourier.fourier_encode(
+        jnp.asarray(x7s), jnp.asarray(stds), jnp.asarray(freqs)))
+    pooled_s = np.asarray(fourier.fourier_encode_pooled(
+        jnp.asarray(x7s), jnp.asarray(stds), jnp.asarray(freqs)))
+    assert np.abs(pooled_s - full_s).mean() < 0.08
+    # Both must vanish at frequencies far above the cloud scale.
+    hi = np.argsort(np.linalg.norm(freqs, axis=0))[-5:]
+    assert np.abs(pooled_s[:, hi]).max() < 0.2
