@@ -113,6 +113,17 @@ def main():
     mxu_pb = lambda: configs.bf16_variant(set_pooled(
         configs.nuscenes_single_mxu()))
 
+    def props(n_samples, grids):
+        cfg = configs.nuscenes_single_mxu()
+        return dataclasses.replace(
+            cfg, model=dataclasses.replace(
+                cfg.model, num_prop_samples=n_samples,
+                prop_desired_grid_size=grids))
+
+    mxu_prop1_64 = lambda: props((64,), (2048,))
+    mxu_prop1_96 = lambda: props((96,), (2048,))
+    mxu_prop_3232 = lambda: props((32, 32), (512, 2048))
+
     todo = sys.argv[1:] or ["fast", "mxu"]
     # mxu_ewc: equal WALL CLOCK with fast's 400 steps — the spectral field
     # steps ~3.2x faster, so it gets ~3.2x the steps in the same budget.
@@ -124,6 +135,9 @@ def main():
             ("mxu_unpooled", mxu_unpooled, STEPS),
             ("mxu_bf16", mxu_bf16, STEPS),
             ("mxu_pooled_bf16", mxu_pb, STEPS),
+            ("mxu_prop1_64", mxu_prop1_64, STEPS),
+            ("mxu_prop1_96", mxu_prop1_96, STEPS),
+            ("mxu_prop_3232", mxu_prop_3232, STEPS),
             ("mxu_ewc", configs.nuscenes_single_mxu, 1265)]:
         if name in todo:
             results[name] = run(name, make(), steps)

@@ -92,6 +92,18 @@ def main():
     variants["b16384"] = base_cfg(16384)
     variants["pooled_b8192"] = pooled(base_cfg(8192))
     variants["pooled_b16384"] = pooled(base_cfg(16384))
+    variants["remat_off"] = pooled(dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, remat=False)))
+    # Proposal-budget variants (reference uses (64, 64) + 32).
+    variants["prop1_64"] = pooled(dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, num_prop_samples=(64,),
+                                       prop_desired_grid_size=(2048,))))
+    variants["prop1_96"] = pooled(dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, num_prop_samples=(96,),
+                                       prop_desired_grid_size=(2048,))))
+    variants["prop_3232"] = pooled(dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model,
+                                       num_prop_samples=(32, 32))))
 
     todo = sys.argv[1:] or list(variants)
     out = {}
