@@ -81,3 +81,26 @@ def test_full_pipeline_cli(scene_root, tmp_path, monkeypatch):
     # Exported points are sensor-frame: the synthetic sensor sits ~1.3 m
     # above ground, so ground returns must be negative-z in sensor frame.
     assert b[:, 2].min() < -0.5
+
+
+def test_render_lidar_obj_modes_cli(scene_root, tmp_path, monkeypatch):
+    # Scene-edit modes through the CLI: removal drops the tracks (model
+    # built WITHOUT objects), laneshift keeps them; output dirs are
+    # suffixed per mode (reference config.simu_mode naming).
+    monkeypatch.chdir(tmp_path)
+    common = ["--config", "tiny_debug", "--data_dir", scene_root,
+              "--exp_name", "modes", "--set", "model.instance_obj=true",
+              *TINY_OBJ]
+    cli.main(["train", *common, "--steps", "2", "--set", "batch_size=128",
+              "--set", "max_steps=2", "--set", "checkpoint_every=2",
+              "--set", "patch_size=1", "--set", "train_render_every=0"])
+    cli.main(["render_lidar", *common, "--mode", "replay",
+              "--obj_mode", "removal", "--num_sweeps", "1",
+              "--azimuth_steps", "32"])
+    pts = np.load("exp/modes/lidar_replay_removal/points_0000.npy")
+    assert pts.shape == (32 * 32, 3)
+    cli.main(["render_lidar", *common, "--mode", "replay",
+              "--obj_mode", "laneshift", "--num_sweeps", "1",
+              "--azimuth_steps", "32"])
+    assert os.path.exists(
+        "exp/modes/lidar_replay_laneshift/points_semantic_0000.npy")
