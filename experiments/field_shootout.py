@@ -124,6 +124,22 @@ def main():
     mxu_prop1_96 = lambda: props((96,), (2048,))
     mxu_prop_3232 = lambda: props((32, 32), (512, 2048))
 
+    def freqs(n):
+        cfg = configs.nuscenes_single_mxu()
+        m = cfg.model
+        nerf = dataclasses.replace(
+            m.nerf_mlp,
+            grid=dataclasses.replace(m.nerf_mlp.grid, fourier_freqs=n))
+        return dataclasses.replace(
+            cfg, model=dataclasses.replace(m, nerf_mlp=nerf))
+
+    # Pooling cut the encode cost ~7x: a wider frequency bank is nearly
+    # free now (the trunk's first Dense grows, the view branch doesn't).
+    mxu_f512 = lambda: freqs(512)
+    mxu_f512_p3232 = lambda: dataclasses.replace(
+        freqs(512), model=dataclasses.replace(
+            freqs(512).model, num_prop_samples=(32, 32)))
+
     todo = sys.argv[1:] or ["fast", "mxu"]
     # mxu_ewc: equal WALL CLOCK with fast's 400 steps — the spectral field
     # steps ~3.2x faster, so it gets ~3.2x the steps in the same budget.
@@ -138,6 +154,8 @@ def main():
             ("mxu_prop1_64", mxu_prop1_64, STEPS),
             ("mxu_prop1_96", mxu_prop1_96, STEPS),
             ("mxu_prop_3232", mxu_prop_3232, STEPS),
+            ("mxu_f512", mxu_f512, STEPS),
+            ("mxu_f512_p3232", mxu_f512_p3232, STEPS),
             ("mxu_ewc", configs.nuscenes_single_mxu, 1265)]:
         if name in todo:
             results[name] = run(name, make(), steps)
