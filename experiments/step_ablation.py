@@ -104,6 +104,15 @@ def main():
     variants["prop_3232"] = pooled(dataclasses.replace(
         cfg, model=dataclasses.replace(cfg.model,
                                        num_prop_samples=(32, 32))))
+    # Dense-band cost: shrink the tiled grid to one 16^3 level (keeps the
+    # code path; isolates the gather share of the step).
+    def small_dense(mlp):
+        return dataclasses.replace(mlp, grid=dataclasses.replace(
+            mlp.grid, fourier_dense_res=16, fourier_pooled=True))
+    variants["tiny_dense"] = dataclasses.replace(
+        cfg, model=dataclasses.replace(
+            cfg.model, nerf_mlp=small_dense(cfg.model.nerf_mlp),
+            prop_mlp=small_dense(cfg.model.prop_mlp)))
 
     todo = sys.argv[1:] or list(variants)
     out = {}
