@@ -237,8 +237,12 @@ def cmd_train(args):
     if cfg.train_render_every > 0 and data.num_views > 1:
         from .renderer import ChunkRenderer, render_view
         from .utils.image import psnr as psnr_fn
+        # Plain compositing path: the training loop must never die on an
+        # inference-kernel limit (a fused-kernel VMEM OOM at step 16000
+        # killed a 25k-step run; the fused path stays on eval/sweep
+        # entries where a crash is cheap).
         test_renderer = ChunkRenderer(model, cfg, cfg.render_chunk_size,
-                                      mesh=mesh)
+                                      mesh=mesh, fused=False)
         # Render the llffhold test-split view (reference train.py:585-605
         # renders the TEST split; with the reference's
         # use_all_for_training=True nuScenes default that view is also

@@ -8,6 +8,14 @@ Numerically identical to ops/render.compute_alpha_weights +
 volumetric_rendering's core composites (tested in
 tests/test_render_pallas.py); the full-featured path (percentiles, extras)
 stays in ops/render.py.
+
+Layout: per-sample feature channels (rgb / semantic / intensity) are
+stacked channel-major as [C, R, S] before entering the kernel. A
+[rays, S, C] block would pad its trailing C (3 or 19) to 128 VMEM lanes —
+a 6-42x capacity blowup that OOMed the 16 MB VMEM scope at
+(block=512, S=32, K=19). Channel-major keeps the lane dimension on S,
+which every other block already pays for, and the block size adapts to
+the padded VMEM footprint (_pick_block_rays).
 """
 
 from __future__ import annotations
@@ -28,9 +36,28 @@ def _interpret() -> bool:
     return jax.default_backend() not in ("tpu",)
 
 
-def _composite_kernel(density_ref, tdist_ref, dirnorm_ref, rgb_ref, sem_ref,
-                      int_ref, rgb_out, depth_out, acc_out, sem_out, int_out,
-                      weights_out, *, opaque_background: bool, num_sem: int,
+def _pad_lanes(n: int) -> int:
+    return ((n + 127) // 128) * 128
+
+
+def _pick_block_rays(s: int, c_total: int, request: int = 512) -> int:
+    """Largest ray-block whose padded VMEM footprint fits the 16 MB scope.
+
+    Accounts for double-buffered inputs (density, tdist, dirnorm, feat),
+    outputs, and ~6 [block, S] f32 temporaries, with every S-trailing
+    block lane-padded to a multiple of 128. Budget 9 MB leaves headroom
+    for Mosaic's own scratch and the [S, S] triangle."""
+    sp = _pad_lanes(s)
+    per_ray = 4 * sp * (2 * c_total + 16)
+    bk = request
+    while bk > 8 and bk * per_ray > 9 * 1024 * 1024:
+        bk //= 2
+    return max(bk, 8)
+
+
+def _composite_kernel(density_ref, tdist_ref, dirnorm_ref, feat_ref,
+                      comp_out, depth_out, acc_out, weights_out, *,
+                      opaque_background: bool, num_rgb: int,
                       bg_value: float):
     density = density_ref[:]           # [R, S]
     tdist = tdist_ref[:]               # [R, S+1]
@@ -65,14 +92,18 @@ def _composite_kernel(density_ref, tdist_ref, dirnorm_ref, rgb_ref, sem_ref,
     depth_out[:] = ((weights * t_mids).sum(axis=1, keepdims=True)
                     / jnp.maximum(acc, _EPS))
 
-    # rgb: [R, S, 3] composited + constant background on the residual.
-    rgb = rgb_ref[:]
-    bg_w = jnp.maximum(1.0 - acc, 0.0)
-    rgb_out[:] = (weights[..., None] * rgb).sum(axis=1) + bg_w * bg_value
-
-    sem = sem_ref[:]
-    sem_out[:] = (weights[..., None] * sem).sum(axis=1)
-    int_out[:] = (weights * int_ref[:]).sum(axis=1, keepdims=True)
+    # Per-channel composites; channel c of feat is a [R, S] slab, so each
+    # product stays in the S-lane layout (no C-minor padding anywhere).
+    bg_w = jnp.maximum(1.0 - acc[:, 0], 0.0)  # [R]
+    c_total = feat_ref.shape[0]
+    comps = []
+    for c in range(c_total):
+        comp = (weights * feat_ref[c]).sum(axis=1)  # [R]
+        if c < num_rgb:
+            # Constant background on the residual transmittance (rgb only).
+            comp = comp + bg_w * bg_value
+        comps.append(comp)
+    comp_out[:] = jnp.stack(comps, axis=0)  # [C, R]
 
 
 def fused_composite(density: jax.Array, tdist: jax.Array, dirs: jax.Array,
@@ -89,25 +120,31 @@ def fused_composite(density: jax.Array, tdist: jax.Array, dirs: jax.Array,
     formulation)."""
     r, s = density.shape
     num_sem = semantic.shape[-1] if semantic is not None else 0
+    has_int = intensity is not None
     dirnorm = jnp.linalg.norm(dirs, axis=-1, keepdims=True)
 
-    if semantic is None:
-        semantic = jnp.zeros((r, s, 1), density.dtype)
-        num_sem_eff = 0
-    else:
-        num_sem_eff = num_sem
-    has_int = intensity is not None
-    if intensity is None:
-        intensity = jnp.zeros((r, s), density.dtype)
+    # Channel-major feature stack: [C, R, S] (see module docstring).
+    parts = [rgb]
+    if semantic is not None:
+        parts.append(semantic)
+    if has_int:
+        parts.append(intensity[..., None])
+    feat = jnp.concatenate(parts, axis=-1).transpose(2, 0, 1)
+    c_total = feat.shape[0]
 
+    block_rays = _pick_block_rays(s, c_total, block_rays)
     grid = (pl.cdiv(r, block_rays),)
     bspec = lambda *shape: pl.BlockSpec(
         shape, lambda i: tuple([i] + [0] * (len(shape) - 1)),
         memory_space=pltpu.VMEM)
+    # Channel-major blocks: full C, gridded rays.
+    cspec = lambda *shape: pl.BlockSpec(
+        shape, lambda i: (0, i) + (0,) * (len(shape) - 2),
+        memory_space=pltpu.VMEM)
 
     kernel = functools.partial(
         _composite_kernel, opaque_background=opaque_background,
-        num_sem=num_sem_eff, bg_value=bg_value)
+        num_rgb=rgb.shape[-1], bg_value=bg_value)
 
     outs = pl.pallas_call(
         kernel,
@@ -117,33 +154,29 @@ def fused_composite(density: jax.Array, tdist: jax.Array, dirs: jax.Array,
             bspec(block_rays, s),
             bspec(block_rays, s + 1),
             bspec(block_rays, 1),
-            bspec(block_rays, s, 3),
-            bspec(block_rays, s, max(num_sem, 1)),
-            bspec(block_rays, s),
+            cspec(c_total, block_rays, s),
         ],
         out_specs=(
-            bspec(block_rays, 3),
+            cspec(c_total, block_rays),
             bspec(block_rays, 1),
-            bspec(block_rays, 1),
-            bspec(block_rays, max(num_sem, 1)),
             bspec(block_rays, 1),
             bspec(block_rays, s),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((r, 3), density.dtype),
+            jax.ShapeDtypeStruct((c_total, r), density.dtype),
             jax.ShapeDtypeStruct((r, 1), density.dtype),
-            jax.ShapeDtypeStruct((r, 1), density.dtype),
-            jax.ShapeDtypeStruct((r, max(num_sem, 1)), density.dtype),
             jax.ShapeDtypeStruct((r, 1), density.dtype),
             jax.ShapeDtypeStruct((r, s), density.dtype),
         ),
-    )(density, tdist, dirnorm, rgb, semantic, intensity)
+    )(density, tdist, dirnorm, feat)
 
-    rgb_o, depth_o, acc_o, sem_o, int_o, weights_o = outs
-    result = dict(rgb=rgb_o, depth=depth_o[:, 0], acc=acc_o[:, 0],
+    comp_o, depth_o, acc_o, weights_o = outs
+    comp = comp_o.T  # [R, C]
+    nc = rgb.shape[-1]
+    result = dict(rgb=comp[:, :nc], depth=depth_o[:, 0], acc=acc_o[:, 0],
                   weights=weights_o)
-    if num_sem_eff > 0:
-        result["semantic"] = sem_o
+    if num_sem > 0:
+        result["semantic"] = comp[:, nc:nc + num_sem]
     if has_int:
-        result["intensity"] = int_o[:, 0]
+        result["intensity"] = comp[:, nc + num_sem]
     return result

@@ -104,3 +104,36 @@ def test_chunk_renderer_fused_path_matches_plain():
     for k in ("rgb", "depth", "semantic"):
         np.testing.assert_allclose(fused[k], plain[k], rtol=2e-4, atol=2e-5,
                                    err_msg=k)
+
+
+def test_pick_block_rays_fits_vmem():
+    # The exact shape that OOMed the 16MB VMEM scope in the round-3 scale
+    # run: chunk 16384, S=32, K=19 semantics (+rgb+intensity = C=23).
+    from nerf_lidar_tpu.ops.render_pallas import (_pad_lanes,
+                                                  _pick_block_rays)
+    bk = _pick_block_rays(32, 23, 512)
+    assert bk < 512  # must shrink below the old fixed block
+    # Footprint bound with the channel-major layout actually fits.
+    assert bk * 4 * _pad_lanes(32) * (2 * 23 + 16) <= 9 * 1024 * 1024
+    # No-semantics case keeps the full block (perf regression guard).
+    assert _pick_block_rays(32, 4, 512) == 512
+    assert _pick_block_rays(128, 4, 512) == 512
+
+
+def test_fused_composite_k19_large_chunk():
+    # Numerics at the OOM-repro shape (block adaptation engaged). Smaller
+    # R than 16384 to keep interpret mode fast, but > the adapted block.
+    density, tdist, dirs, rgb, sem, inten = _inputs(R=600, K=19)
+    out = render_pallas.fused_composite(density, tdist, dirs, rgb, sem,
+                                        inten, block_rays=512)
+    w_ref, _, _ = render.compute_alpha_weights(density, tdist, dirs,
+                                               opaque_background=True)
+    ref = render.volumetric_rendering(
+        rgb, w_ref, tdist, bg_rgbs=jnp.asarray(1.0),
+        t_far=tdist[:, -1:], compute_extras=False, semantic=sem,
+        intensity=inten, sem_detach=False)
+    np.testing.assert_allclose(np.asarray(out["semantic"]),
+                               np.asarray(ref["semantic"]), rtol=1e-5,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["rgb"]),
+                               np.asarray(ref["rgb"]), rtol=1e-5, atol=1e-5)
