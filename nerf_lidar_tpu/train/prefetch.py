@@ -38,9 +38,15 @@ class BatchPrefetcher:
                 batch = self._make()
                 staged = jax.device_put(batch, self._sharding) \
                     if self._sharding is not None else jax.device_put(batch)
-                self._q.put(staged, timeout=1.0)
-            except queue.Full:
-                continue
+                # Retry the SAME staged batch until it fits (dropping it on
+                # Full would rebuild from scratch and spin a core whenever
+                # the queue is ahead of the consumer).
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(staged, timeout=1.0)
+                        break
+                    except queue.Full:
+                        continue
             except Exception:
                 if not self._stop.is_set():
                     raise
