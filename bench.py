@@ -124,7 +124,10 @@ def bench_full_recipe(base_cfg, batch_size, n_steps):
         posenet_model=posenet, tracknet_model=tracknet)
     dt = _time_steps(step_fn, state, batches, jax.random.PRNGKey(3),
                      n_steps, tracks_j, track_mask)
-    return batch_size * n_steps / dt
+    # Rays actually rendered per step: batch + road-aug + lidar extras
+    # (batcher.total_rays), not the nominal batch_size — the headline
+    # config's total_rays == batch_size, so the two rates stay comparable.
+    return batcher.total_rays * n_steps / dt
 
 
 def main():

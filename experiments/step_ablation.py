@@ -50,6 +50,10 @@ def pooled(cfg):
 
 
 def bench(cfg, n_steps=20):
+    # One timing discipline for the whole repo: bench._time_steps bounds
+    # execution by a chain-dependent device_get (block_until_ready returns
+    # early on this tunneled backend — BASELINE.md).
+    from bench import _time_steps
     _, data, _ = synthetic.make_scene_data(num_views=4, height=64, width=96,
                                            focal=64.0, far=cfg.far,
                                            with_lidar=False)
@@ -59,16 +63,7 @@ def bench(cfg, n_steps=20):
     params = jax.jit(model.init)(jax.random.PRNGKey(0), None, batches[0])
     state, tx = train_step.create_train_state(cfg, params)
     step_fn = train_step.make_train_step(model, tx, cfg)
-    key = jax.random.PRNGKey(1)
-    key, sub = jax.random.split(key)
-    state, stats = step_fn(state, batches[0], sub, None, None)
-    float(jax.device_get(stats["loss"]))
-    t0 = time.perf_counter()
-    for i in range(n_steps):
-        key, sub = jax.random.split(key)
-        state, stats = step_fn(state, batches[i % 4], sub, None, None)
-    float(jax.device_get(stats["loss"]))
-    dt = time.perf_counter() - t0
+    dt = _time_steps(step_fn, state, batches, jax.random.PRNGKey(1), n_steps)
     return cfg.batch_size * n_steps / dt
 
 

@@ -469,12 +469,17 @@ def _probe_batch(data, n: int = 8):
         timestamp=np.zeros(n, np.float32)).items()}
 
 
-def _restore_model_params(cfg, model, data, allow_fresh: bool = False):
+def _restore_model_params(cfg, model, data, allow_fresh: bool = False,
+                          tracks=None, track_mask=None):
     """Restore the latest checkpoint's model params (structure-free — works
     regardless of whether the run trained with pose/track refinement; see
     checkpoints.restore_model_params). A missing checkpoint is an error:
     render/extract/lidar_eval must not silently ship untrained output.
-    Pass allow_fresh=True (--allow_fresh) to debug with a fresh init."""
+    Pass allow_fresh=True (--allow_fresh) to debug with a fresh init;
+    tracks/track_mask must be supplied then for dynamic-object models, or
+    the fresh init would lack the obj-MLP params the renderer looks up."""
+    import functools
+
     import jax
     from .train import checkpoints
     params, step = checkpoints.restore_model_params(exp_dir(cfg))
@@ -483,10 +488,28 @@ def _restore_model_params(cfg, model, data, allow_fresh: bool = False):
             raise SystemExit(
                 f"no checkpoint in {exp_dir(cfg)} — refusing to render from "
                 "an untrained init (pass --allow_fresh to override)")
-        params = jax.jit(model.init)(jax.random.PRNGKey(0), None,
-                                     _probe_batch(data))
+        init = jax.jit(functools.partial(model.init, tracks=tracks,
+                                         track_mask=track_mask))
+        params = init(jax.random.PRNGKey(0), None, _probe_batch(data))
         step = 0
     return params, step
+
+
+def _pad_obj_latents(params, num_objects: int):
+    """Grow the restored obj_latents table to `num_objects` rows (track
+    insertion adds slots the checkpoint never trained). New slots get zero
+    latents — the neutral-appearance GLO convention — instead of silently
+    gather-clamping onto the last trained object's latent; --obj_ckpt can
+    transplant a trained latent afterwards."""
+    import jax.numpy as jnp
+    lat = params.get("params", {}).get("obj_latents")
+    if lat is None or lat.shape[0] >= num_objects:
+        return params
+    pad = jnp.zeros((num_objects - lat.shape[0], lat.shape[1]), lat.dtype)
+    params = dict(params)
+    params["params"] = dict(params["params"])
+    params["params"]["obj_latents"] = jnp.concatenate([lat, pad], axis=0)
+    return params
 
 
 def cmd_render(args):
@@ -516,7 +539,8 @@ def cmd_render(args):
     mask_j = (jnp.asarray(scene.track_mask)
               if use_obj and scene.track_mask is not None else None)
     params, step = _restore_model_params(
-        dataclasses.replace(cfg, model=mcfg), model, data, args.allow_fresh)
+        dataclasses.replace(cfg, model=mcfg), model, data, args.allow_fresh,
+        tracks=tracks_j, track_mask=mask_j)
     print(f"restored step {step}")
 
     if args.path == "ellipse":
@@ -606,7 +630,12 @@ def cmd_render_video(args):
         num_nerf_samples=(64 if args.hq else cfg.model.num_nerf_samples))
     model = Model(mcfg)
     params, step = _restore_model_params(
-        dataclasses.replace(cfg, model=mcfg), model, data, args.allow_fresh)
+        dataclasses.replace(cfg, model=mcfg), model, data, args.allow_fresh,
+        tracks=jnp.asarray(tracks) if use_obj else None,
+        track_mask=(jnp.asarray(track_mask)
+                    if use_obj and track_mask is not None else None))
+    if use_obj:
+        params = _pad_obj_latents(params, mcfg.num_objects)
     print(f"restored step {step}")
 
     tracks_j = jnp.asarray(tracks) if use_obj else None
@@ -674,14 +703,24 @@ def cmd_render_lidar(args):
         num_objects=int(tracks.shape[0]) if use_obj else 0)
     model = Model(mcfg)
     params, step = _restore_model_params(
-        dataclasses.replace(cfg, model=mcfg), model, data, args.allow_fresh)
+        dataclasses.replace(cfg, model=mcfg), model, data, args.allow_fresh,
+        tracks=jnp.asarray(tracks) if use_obj else None,
+        track_mask=(jnp.asarray(track_mask)
+                    if use_obj and track_mask is not None else None))
+    if use_obj:
+        params = _pad_obj_latents(params, mcfg.num_objects)
     print(f"restored step {step}; dynamic objects: "
           f"{int(tracks.shape[0]) if use_obj else 0} "
           f"(obj_mode={args.obj_mode})")
 
     lidar = getattr(scene, "lidar", None)
     sweep_ts = lidar.get("sweep_timestamps") if lidar else None
-    if args.mode == "replay" and lidar is not None:
+    if args.mode == "replay" and lidar is None:
+        raise SystemExit(
+            "--mode replay needs the scene's real LiDAR trajectory "
+            "(lidar_points/ + lidar2globals), which this scene lacks — "
+            "use --mode simu for a synthesized trajectory")
+    if args.mode == "replay":
         # Real trajectory: per-sweep centers + timestamps from the scene.
         l2g = lidar["lidar2globals"]
         centers = l2g[:, :3, 3]
@@ -711,7 +750,8 @@ def cmd_render_lidar(args):
     paths = render_sweeps_to_dir(
         renderer, params, sweeps, data.near, data.far, frame, sweep_dir,
         tracks=jnp.asarray(tracks) if use_obj else None,
-        track_mask=jnp.asarray(track_mask) if use_obj else None)
+        track_mask=(jnp.asarray(track_mask)
+                    if use_obj and track_mask is not None else None))
     # Per-sweep sensor poses alongside the trio: the ray-drop feature
     # stage uses them to bring world-frame points into the sensor frame
     # (reference nerf2world.nerf_to_lidar).
@@ -755,7 +795,8 @@ def cmd_lidar_eval(args):
     mask_j = (jnp.asarray(scene.track_mask)
               if use_obj and scene.track_mask is not None else None)
     params, step = _restore_model_params(
-        dataclasses.replace(cfg, model=mcfg), model, data, args.allow_fresh)
+        dataclasses.replace(cfg, model=mcfg), model, data, args.allow_fresh,
+        tracks=tracks_j, track_mask=mask_j)
     print(f"restored step {step}")
 
     o, d, gt_depth = (data.lidar_origins, data.lidar_dirs, data.lidar_depth)
@@ -812,6 +853,7 @@ def cmd_render_instance(args):
     """Orbit-render a single dynamic object's field
     (reference obj_rendering / render_video render_instance)."""
     import jax
+    import jax.numpy as jnp
     from .models.model import Model
     from .models import objects as objlib
     from .utils import vis as vis_lib
@@ -827,7 +869,9 @@ def cmd_render_instance(args):
     model = Model(mcfg)
     params, step = _restore_model_params(
         dataclasses.replace(cfg, model=mcfg), model, scene.data,
-        args.allow_fresh)
+        args.allow_fresh, tracks=jnp.asarray(tracks),
+        track_mask=(jnp.asarray(scene.track_mask)
+                    if scene.track_mask is not None else None))
     print(f"restored step {step}")
     frames = objlib.render_instance(
         model, params, args.track_id, height=args.size, width=args.size,
@@ -890,6 +934,10 @@ def cmd_raydrop_features(args):
     --pair scene_dir:sim_dir spans multiple scenes."""
     from .raydrop import features as feat_lib
 
+    for p in args.pair or []:
+        if ":" not in p:
+            raise SystemExit(f"--pair must be scene_dir:sim_sweep_dir "
+                             f"(got {p!r})")
     pairs = [p.split(":", 1) for p in args.pair or []]
     if args.data_dir and args.sim_dir:
         pairs.append([args.data_dir, args.sim_dir])
@@ -922,9 +970,8 @@ def cmd_raydrop_drop(args):
     if l2g is not None:
         # Rendered points are world-frame; the range projection needs the
         # sensor frame (nerf2world.nerf_to_lidar).
-        sweeps = [(feat_lib.world_points_to_sensor(p, l2g[min(i,
-                                                              len(l2g) - 1)]),
-                   s, r) for i, (p, s, r) in enumerate(sweeps)]
+        sweeps = [(feat_lib.world_points_to_sensor(p, l2g[i]), s, r)
+                  for i, (p, s, r) in enumerate(sweeps)]
     n = infer_lib.drop_and_export(trainer, state, sweeps, args.out,
                                   h=args.height, w=args.width,
                                   car_median_rule=args.place_car)

@@ -124,6 +124,14 @@ def load_sim_sweep_dir(sim_dir: str):
         i += 1
     l2g_p = os.path.join(sim_dir, "lidar2globals.npy")
     l2g = np.load(l2g_p) if os.path.exists(l2g_p) else None
+    if l2g is not None and len(sweeps) != len(l2g):
+        # A shorter re-render into the same dir leaves stale points_*.npy
+        # beyond the rewritten lidar2globals; pairing them with the wrong
+        # pose would silently misplace every later sweep.
+        raise ValueError(
+            f"{sim_dir}: {len(sweeps)} points_*.npy sweeps but "
+            f"lidar2globals.npy has {len(l2g)} poses — stale files from an "
+            "earlier longer render? Clear the dir and re-render.")
     return sweeps, l2g
 
 
@@ -166,7 +174,7 @@ def assemble_training_set(scene_dir: str, sim_dir: str, h: int = 32,
                                              _read_moving_boxes(scene_dir, i))
         reals.append(dirs * depth[:, None])
         if l2g is not None:
-            pts = world_points_to_sensor(pts, l2g[min(i, len(l2g) - 1)])
+            pts = world_points_to_sensor(pts, l2g[i])
         sims.append((pts, sem, rgb))
     if not reals:
         raise FileNotFoundError(

@@ -117,3 +117,29 @@ def test_config_json_snapshot_roundtrip(tmp_path):
     built = cli_mod.build_config(ns)
     assert built.batch_size == 64 and built.exp_name == "resumed"
     assert built.model == cfg.model
+
+
+def test_pad_obj_latents_zero_fills_new_slots():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nerf_lidar_tpu.cli import _pad_obj_latents
+
+    params = {"params": {"obj_latents": jnp.ones((2, 4)), "other": 1}}
+    out = _pad_obj_latents(params, 4)
+    lat = np.asarray(out["params"]["obj_latents"])
+    assert lat.shape == (4, 4)
+    np.testing.assert_array_equal(lat[:2], 1.0)
+    np.testing.assert_array_equal(lat[2:], 0.0)
+    # No-op when the table already covers the slots (and no copy surprises).
+    assert _pad_obj_latents(params, 2) is params
+
+
+def test_raydrop_features_pair_format_error():
+    import pytest
+
+    from nerf_lidar_tpu import cli
+
+    with pytest.raises(SystemExit, match="scene_dir:sim_sweep_dir"):
+        cli.main(["raydrop_features", "--pair", "/no/colon/here",
+                  "--out", "/tmp/x.npy"])

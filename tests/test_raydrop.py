@@ -205,3 +205,22 @@ def test_vgg_pretrain_roundtrip_and_learns(tmp_path):
     got = t.vgg_params["params"]["s0_c0"]["kernel"]
     want = enc["params"]["s0_c0"]["kernel"]
     np.testing.assert_allclose(np.asarray(got), np.asarray(want))
+
+
+def test_load_sim_sweep_dir_rejects_stale_files(tmp_path):
+    # A shorter re-render leaves stale points files past the rewritten
+    # lidar2globals; pairing must fail loudly, not clamp onto sweep 1's
+    # pose (round-3 review finding).
+    import numpy as np
+    import pytest
+
+    from nerf_lidar_tpu.raydrop import features
+
+    d = tmp_path / "sim"
+    d.mkdir()
+    for i in range(3):
+        np.save(d / f"points_{i:04d}.npy", np.zeros((5, 3), np.float32))
+        np.save(d / f"points_semantic_{i:04d}.npy", np.zeros(5, np.float32))
+    np.save(d / "lidar2globals.npy", np.tile(np.eye(4), (2, 1, 1)))
+    with pytest.raises(ValueError, match="stale"):
+        features.load_sim_sweep_dir(str(d))
