@@ -52,10 +52,16 @@ def main():
     result = {"metric": "sweep_render_s", "config": CONFIG,
               "step": int(step), "rays_per_sweep": 32 * 1100}
     # fused=True: the Pallas fused-composite inference path (the shipped
-    # default on TPU); fused=False: the plain XLA compositing chain.
-    for fused in (True, False):
-        renderer = ChunkRenderer(model, cfg, cfg.render_chunk_size,
-                                 fused=fused)
+    # default on TPU); fused=False: the plain XLA compositing chain;
+    # "bf16": fused + bfloat16 MLP compute (params stay the restored f32 —
+    # MLPConfig.compute_dtype casts activations/matmuls only).
+    from nerf_lidar_tpu import configs as cfglib
+    bf16_model = Model(dataclasses.replace(
+        cfglib.bf16_variant(cfg).model, instance_obj=False))
+    for fused in (True, False, "bf16"):
+        mdl = bf16_model if fused == "bf16" else model
+        renderer = ChunkRenderer(mdl, cfg, cfg.render_chunk_size,
+                                 fused=bool(fused))
         out = lrender.render_sweep(renderer, params, sweeps[0], data.near,
                                    data.far, scene.frame)  # warm + compile
         float(np.asarray(out["depth"]).sum())
@@ -66,12 +72,13 @@ def main():
                                         data.far, scene.frame)
         float(np.asarray(last["depth"]).sum())
         dt = (time.perf_counter() - t0) / len(sweeps)
-        key = "value" if fused else "value_plain"
+        key = {True: "value", False: "value_plain",
+               "bf16": "value_bf16"}[fused]
         result[key] = round(dt, 3)
-        result["sweeps_per_sec" if fused else "sweeps_per_sec_plain"] = \
-            round(1.0 / dt, 3)
+        result[key.replace("value", "sweeps_per_sec")] = round(1 / dt, 3)
     result["fused_speedup"] = round(result["value_plain"] / result["value"],
                                     3)
+    result["bf16_speedup"] = round(result["value"] / result["value_bf16"], 3)
     print(json.dumps(result))
 
 
