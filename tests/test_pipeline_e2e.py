@@ -104,3 +104,29 @@ def test_render_lidar_obj_modes_cli(scene_root, tmp_path, monkeypatch):
               "--azimuth_steps", "32"])
     assert os.path.exists(
         "exp/modes/lidar_replay_laneshift/points_semantic_0000.npy")
+
+
+def test_render_lidar_insert_track_cli(scene_root, tmp_path, monkeypatch):
+    # Track insertion grows num_objects past the checkpoint's latent table;
+    # the renderer must zero-pad the new slot (round-3 review finding),
+    # not clamp onto the last trained object's latent or crash.
+    monkeypatch.chdir(tmp_path)
+    common = ["--config", "tiny_debug", "--data_dir", scene_root,
+              "--exp_name", "ins", "--set", "model.instance_obj=true",
+              *TINY_OBJ]
+    cli.main(["train", *common, "--steps", "2", "--set", "batch_size=128",
+              "--set", "max_steps=2", "--set", "checkpoint_every=2",
+              "--set", "patch_size=1", "--set", "train_render_every=0"])
+    # New track: a parked box near the origin across the scene's window.
+    from nerf_lidar_tpu.data import nuscenes as nusc
+    scene = nusc.load_scene(scene_root, split="lidar", sensor_num=2)
+    T = scene.tracks.shape[1]
+    new = np.zeros((T, scene.tracks.shape[2]), np.float32)
+    new[:] = scene.tracks[0]          # copy timing/shape layout
+    new[:, 0] += 2.0                  # offset position
+    trk = os.path.join(str(tmp_path), "new_track.npy")
+    np.save(trk, new)
+    cli.main(["render_lidar", *common, "--mode", "replay",
+              "--insert_track", trk, "--num_sweeps", "1",
+              "--azimuth_steps", "32"])
+    assert os.path.exists("exp/ins/lidar_replay/points_0000.npy")
