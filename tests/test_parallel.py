@@ -68,3 +68,44 @@ def test_maybe_data_mesh_honors_mesh_shape():
     m2 = maybe_data_mesh(shape=(-1, 2), axes=("data", "model"))
     assert m2.axis_names == ("data", "model")
     assert m2.devices.shape == (4, 2)
+
+
+def test_chunk_renderer_mesh_fused_kernel():
+    # The multi-chip inference path WITH the fused Pallas compositing
+    # kernel (interpret mode off-TPU): batch-sharded chunks + pallas_call
+    # must compose, and match the plain mesh path.
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from nerf_lidar_tpu import configs
+    from nerf_lidar_tpu.models.model import Model
+    from nerf_lidar_tpu.renderer import ChunkRenderer
+
+    cfg = configs.tiny_debug()
+    cfg = dataclasses.replace(cfg, render_chunk_size=128)
+    model = Model(cfg.model)
+    rng = np.random.RandomState(0)
+    n = 200
+    d = rng.randn(n, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = dict(
+        origins=(rng.randn(n, 3) * 0.05).astype(np.float32),
+        directions=d, viewdirs=d, base_x=d, base_y=d,
+        radii=np.full((n, 1), 1e-3, np.float32),
+        near=np.full((n, 1), 0.2, np.float32),
+        far=np.full((n, 1), 8.0, np.float32),
+        timestamp=np.zeros(n, np.float32))
+    import jax.numpy as jnp
+    batch = {k: jnp.asarray(v) for k, v in rays.items()}
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), None, batch)
+
+    mesh = data_mesh()
+    fused = ChunkRenderer(model, cfg, 128, mesh=mesh,
+                          fused=True).render(params, rays)
+    plain = ChunkRenderer(model, cfg, 128, mesh=mesh,
+                          fused=False).render(params, rays)
+    for k in ("rgb", "depth", "semantic"):
+        np.testing.assert_allclose(fused[k], plain[k], rtol=2e-4,
+                                   atol=2e-5, err_msg=k)
