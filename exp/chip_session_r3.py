@@ -93,7 +93,16 @@ def s7():
     sweep_bench.main()
 
 
+@fence("check_dynamic_sweeps")
+def s8():
+    # CPU-only artifact validation: vehicles present in replay sweeps,
+    # absent in removal-mode sweeps (exp/check_dynamic_sweeps.py).
+    import subprocess
+    subprocess.run([sys.executable, "exp/check_dynamic_sweeps.py",
+                    "exp/scale_fast"], check=True)
+
+
 if __name__ == "__main__":
-    for s in (s1, s2, s3, s4, s5, s6, s7):
+    for s in (s1, s2, s3, s4, s5, s6, s7, s8):
         s()
     print("CHIP SESSION DONE", flush=True)
