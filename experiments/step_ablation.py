@@ -99,6 +99,22 @@ def main():
     variants["prop_3232"] = pooled(dataclasses.replace(
         cfg, model=dataclasses.replace(cfg.model,
                                        num_prop_samples=(32, 32))))
+    # Round-3 flagship composition: prop1_64 is the quality-neutral winner
+    # (60.8k rays/s, -0.11 dB at 400 steps); stack the orthogonal levers.
+    prop1 = dataclasses.replace(cfg.model, num_prop_samples=(64,),
+                                prop_desired_grid_size=(2048,))
+    variants["prop1_64_nremat"] = pooled(dataclasses.replace(
+        cfg, model=dataclasses.replace(prop1, remat=False)))
+    variants["prop1_64_bf16"] = configs.bf16_variant(pooled(
+        dataclasses.replace(cfg, model=prop1)))
+    variants["prop1_64_b8192"] = pooled(dataclasses.replace(
+        base_cfg(8192), model=dataclasses.replace(
+            base_cfg(8192).model, num_prop_samples=(64,),
+            prop_desired_grid_size=(2048,))))
+    variants["prop1_64_nremat_b8192"] = pooled(dataclasses.replace(
+        base_cfg(8192), model=dataclasses.replace(
+            base_cfg(8192).model, num_prop_samples=(64,),
+            prop_desired_grid_size=(2048,), remat=False)))
     # Dense-band cost: shrink the tiled grid to one 16^3 level (keeps the
     # code path; isolates the gather share of the step).
     def small_dense(mlp):

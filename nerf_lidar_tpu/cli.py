@@ -93,6 +93,15 @@ def build_config(args) -> configs.Config:
     return cfg
 
 
+def _obj_sem_ids(classes, n: int):
+    """Per-slot semantic class ids from the scene's track class names
+    (objects.query_class, reference obj_utils.py:498-508), padded to the
+    model's num_objects with 255 (= unlabeled slot)."""
+    from .models import objects as objlib
+    ids = [objlib.query_class(c) for c in classes][:n]
+    return tuple(ids + [255] * (n - len(ids)))
+
+
 def load_scene_for(cfg: configs.Config, split: str = "train"):
     """Dataset registry: {synthetic, nusc} (reference datasets.py:50-61 keeps
     a loader registry; only the nuScenes path is first-class here)."""
@@ -153,7 +162,10 @@ def cmd_train(args):
                   if getattr(scene, "track_mask", None) is not None else None)
     mcfg = cfg.model
     if tracks is not None and mcfg.instance_obj:
-        mcfg = dataclasses.replace(mcfg, num_objects=int(tracks.shape[0]))
+        mcfg = dataclasses.replace(
+            mcfg, num_objects=int(tracks.shape[0]),
+            obj_sem_ids=_obj_sem_ids(
+                getattr(scene, "track_classes", []), int(tracks.shape[0])))
         cfg = dataclasses.replace(cfg, model=mcfg)
     elif mcfg.instance_obj:
         mcfg = dataclasses.replace(mcfg, instance_obj=False)
@@ -334,7 +346,10 @@ def cmd_eval(args):
     use_obj = tracks is not None and cfg.model.instance_obj
     mcfg = dataclasses.replace(
         cfg.model, instance_obj=use_obj,
-        num_objects=int(tracks.shape[0]) if use_obj else 0)
+        num_objects=int(tracks.shape[0]) if use_obj else 0,
+        obj_sem_ids=(_obj_sem_ids(getattr(scene, "track_classes", []),
+                                  int(tracks.shape[0]))
+                     if use_obj else ()))
     model = Model(mcfg)
     tracks_j = jnp.asarray(tracks) if use_obj else None
     mask_j = (jnp.asarray(scene.track_mask)
@@ -533,7 +548,10 @@ def cmd_render(args):
     use_obj = tracks is not None and cfg.model.instance_obj
     mcfg = dataclasses.replace(
         cfg.model, instance_obj=use_obj,
-        num_objects=int(tracks.shape[0]) if use_obj else 0)
+        num_objects=int(tracks.shape[0]) if use_obj else 0,
+        obj_sem_ids=(_obj_sem_ids(getattr(scene, "track_classes", []),
+                                  int(tracks.shape[0]))
+                     if use_obj else ()))
     model = Model(mcfg)
     tracks_j = jnp.asarray(tracks) if use_obj else None
     mask_j = (jnp.asarray(scene.track_mask)
@@ -613,18 +631,21 @@ def cmd_render_video(args):
     tracks = getattr(scene, "tracks", None)
     track_mask = getattr(scene, "track_mask", None)
 
+    classes = list(getattr(scene, "track_classes", []))
     angle, tracks = objlib.simu_info(args.mode, tracks)
     if tracks is not None and angle:
         tracks = objlib.manipulate_tracks(tracks, angle)
     if args.insert_track and tracks is not None:
         new = np.load(args.insert_track)
-        tracks, track_mask, _ = objlib.edit_tracks(
-            tracks, track_mask, getattr(scene, "track_classes", []), new)
+        tracks, track_mask, classes = objlib.edit_tracks(
+            tracks, track_mask, classes, new)
 
     use_obj = tracks is not None and cfg.model.instance_obj
     mcfg = dataclasses.replace(
         cfg.model, instance_obj=use_obj,
         num_objects=int(tracks.shape[0]) if use_obj else 0,
+        obj_sem_ids=(_obj_sem_ids(classes, int(tracks.shape[0]))
+                     if use_obj else ()),
         # Bump proposal samples for video quality (render_video.py:130).
         num_prop_samples=(256, 64) if args.hq else cfg.model.num_prop_samples,
         num_nerf_samples=(64 if args.hq else cfg.model.num_nerf_samples))
@@ -689,18 +710,21 @@ def cmd_render_lidar(args):
     # Scene-edit mode applied to the tracks (reference config.simu_mode).
     tracks = getattr(scene, "tracks", None)
     track_mask = getattr(scene, "track_mask", None)
+    classes = list(getattr(scene, "track_classes", []))
     angle, tracks = objlib.simu_info(args.obj_mode, tracks)
     if tracks is not None and angle:
         tracks = objlib.manipulate_tracks(tracks, angle)
     if args.insert_track and tracks is not None:
         new = np.load(args.insert_track)
-        tracks, track_mask, _ = objlib.edit_tracks(
-            tracks, track_mask, getattr(scene, "track_classes", []), new)
+        tracks, track_mask, classes = objlib.edit_tracks(
+            tracks, track_mask, classes, new)
 
     use_obj = tracks is not None and cfg.model.instance_obj
     mcfg = dataclasses.replace(
         cfg.model, instance_obj=use_obj,
-        num_objects=int(tracks.shape[0]) if use_obj else 0)
+        num_objects=int(tracks.shape[0]) if use_obj else 0,
+        obj_sem_ids=(_obj_sem_ids(classes, int(tracks.shape[0]))
+                     if use_obj else ()))
     model = Model(mcfg)
     params, step = _restore_model_params(
         dataclasses.replace(cfg, model=mcfg), model, data, args.allow_fresh,
@@ -789,7 +813,10 @@ def cmd_lidar_eval(args):
     use_obj = tracks is not None and cfg.model.instance_obj
     mcfg = dataclasses.replace(
         cfg.model, instance_obj=use_obj,
-        num_objects=int(tracks.shape[0]) if use_obj else 0)
+        num_objects=int(tracks.shape[0]) if use_obj else 0,
+        obj_sem_ids=(_obj_sem_ids(getattr(scene, "track_classes", []),
+                                  int(tracks.shape[0]))
+                     if use_obj else ()))
     model = Model(mcfg)
     tracks_j = jnp.asarray(tracks) if use_obj else None
     mask_j = (jnp.asarray(scene.track_mask)

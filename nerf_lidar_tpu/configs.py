@@ -153,6 +153,12 @@ class ModelConfig:
     # the padded track tensor uses the MLP of class obj_class_ids[k].
     # Empty tuple = one shared obj MLP for all slots.
     obj_class_ids: Tuple[int, ...] = ()
+    # Per-slot SEMANTIC class ids (objects.query_class of each track's
+    # class name; 255 = unlabeled). With a fixed-semantic obj MLP, object
+    # samples render one-hot(obj_sem_ids[slot]) — the reference builds
+    # each obj MLP with class_type = query_class(...) (models.py:105-121).
+    # The CLI fills this from the scene's track_classes.
+    obj_sem_ids: Tuple[int, ...] = ()
     # MLP blocks (gin alias analog).
     nerf_mlp: MLPConfig = MLPConfig(
         use_semantic=True, no_sem_layer=False, disable_density_normals=True)

@@ -18,6 +18,7 @@ loss stack (train/losses.py) can mirror reference train_utils.py.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Any, Dict, Optional
 
 import flax.linen as nn
@@ -67,8 +68,13 @@ class Model(nn.Module):
                 # One obj MLP per distinct object class; slot membership is
                 # static (reference models.py:93-174 obj_mlp_{class_id}).
                 assert len(c.obj_class_ids) == c.num_objects
+                # Each class MLP carries its class id as the fixed
+                # semantic label (reference models.py:105-121 constructs
+                # ObjMLP(class_type=query_class(...))).
                 self.obj_mlps = {
-                    k: ZipMLP(c.obj_mlp, name=f"obj_mlp_cls{k}")
+                    k: ZipMLP(dataclasses.replace(c.obj_mlp, class_type=k)
+                              if c.obj_mlp.fixed_semantic else c.obj_mlp,
+                              name=f"obj_mlp_cls{k}")
                     for k in sorted(_class_slots(c.obj_class_ids))}
             else:
                 self.obj_mlp = ZipMLP(c.obj_mlp)
@@ -203,7 +209,11 @@ class Model(nn.Module):
                     pts_w, batch["viewdirs"], obj_pose, track_mask,
                     ray_results, is_prop=is_prop,
                     sym=c.symmetrize and train and not is_prop,
-                    class_groups=class_groups)
+                    class_groups=class_groups,
+                    obj_sem_ids=(c.obj_sem_ids
+                                 if (c.obj_sem_ids
+                                     and c.obj_mlp.fixed_semantic)
+                                 else None))
 
             # RawNeRF exposure logic (reference models.py:500-512): scale
             # colors by the capture exposure, plus a learned per-capture

@@ -207,6 +207,22 @@ def render_instance(model, params, track_id: int, height: int = 128,
     return np.stack(frames)
 
 
+def query_class(class_name: str) -> int:
+    """Track class name -> semantic class id (reference
+    obj_utils.py:498-508): human 11, truck/trailer/construction 14,
+    bus 15, car 13, else 255 (= no fixed label)."""
+    if "human" in class_name:
+        return 11
+    if ("truck" in class_name or "trailer" in class_name
+            or "construction" in class_name):
+        return 14
+    if "bus" in class_name:
+        return 15
+    if "car" in class_name:
+        return 13
+    return 255
+
+
 def simu_info(mode: str, tracks, angle: float = 0.0,
               lane_shift: float = 0.03):
     """Scene-edit simulation modes (reference obj_utils.py:554-573):
@@ -319,7 +335,8 @@ def composite_objects(obj_mlp, obj_latents: Optional[jax.Array],
                       obj_pose: jax.Array, track_mask: Optional[jax.Array],
                       ray_results: Dict[str, jax.Array],
                       is_prop: bool, sym: bool = False,
-                      class_groups=None) -> Dict[str, jax.Array]:
+                      class_groups=None,
+                      obj_sem_ids=None) -> Dict[str, jax.Array]:
     """Overwrite field predictions inside object boxes with ObjMLP output.
 
     pts_w: [R, S, 3]; obj_pose: [R, N_obj, F]; obj_latents: [N_obj, Z] or
@@ -346,6 +363,7 @@ def composite_objects(obj_mlp, obj_latents: Optional[jax.Array],
     # winning module varies per sample).
     o_ids = jnp.arange(n_obj)
     winner = jnp.argmax(jnp.where(inter, o_ids[None, None], -1), axis=-1)
+    winner_slot = winner  # original slot ids (winner is re-indexed below)
     any_inter = inter.any(-1)  # [R, S]
 
     winner_only = class_groups is None
@@ -400,6 +418,23 @@ def composite_objects(obj_mlp, obj_latents: Optional[jax.Array],
         picked = jnp.take_along_axis(ov, idx, axis=2)[:, :, 0]
         m = any_inter if base.ndim == 2 else any_inter[..., None]
         results[key] = jnp.where(m, picked, base)
+
+    # Fixed per-slot semantic labels: the reference builds each obj MLP
+    # with class_type = query_class(track class) (models.py:105-121), so
+    # object samples render their track's semantic class. obj_sem_ids is
+    # that per-slot id list; 255 = unlabeled (keep the field's semantics).
+    if obj_sem_ids is not None and results.get("semantic") is not None:
+        sem_ids = jnp.asarray(obj_sem_ids)  # [N_obj] int
+        sid = sem_ids[winner_slot]  # [R, S]
+        # Ids are in the 19-class scheme; with a smaller semantic head
+        # (debug configs) an out-of-range id falls back to the MLP output
+        # rather than one_hot's silent all-zeros row.
+        valid = (any_inter & (sid != 255)
+                 & (sid < results["semantic"].shape[-1]))
+        onehot = jax.nn.one_hot(sid, results["semantic"].shape[-1],
+                                dtype=results["semantic"].dtype)
+        results["semantic"] = jnp.where(valid[..., None], onehot,
+                                        results["semantic"])
 
     results["obj_mask"] = inter
     return results

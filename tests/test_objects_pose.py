@@ -468,3 +468,97 @@ def test_learnpose_learn_flags_gate_components():
                                np.broadcast_to(np.eye(3), (3, 3, 3)),
                                atol=1e-7)
     assert np.abs(np.asarray(t2)).max() > 0.0
+
+
+def test_query_class_reference_mapping():
+    # Reference obj_utils.py:498-508.
+    assert objlib.query_class("vehicle.car") == 13
+    assert objlib.query_class("car_fusion") == 13
+    assert objlib.query_class("vehicle.truck") == 14
+    assert objlib.query_class("vehicle.construction") == 14
+    assert objlib.query_class("vehicle.trailer") == 14
+    assert objlib.query_class("vehicle.bus.rigid") == 15
+    assert objlib.query_class("human.pedestrian.adult") == 11
+    assert objlib.query_class("movable_object.barrier") == 255
+
+
+def test_composite_obj_sem_ids_labels_object_samples():
+    """Fixed-semantic object slots must render their track's class
+    (reference models.py:105-121 builds ObjMLP(class_type=query_class));
+    obj_sem_ids carries the per-slot id; 255 keeps the field's output."""
+    cfg, model, tracks, track_mask = _obj_model_setup()
+    batch = _batch_through_origin()
+    params = model.init(jax.random.PRNGKey(0), None, batch, tracks=tracks,
+                        track_mask=track_mask)
+    R, S = 6, 5
+    rng = np.random.RandomState(2)
+    pts_w = jnp.asarray(rng.randn(R, S, 3).astype(np.float32) * 1.5)
+    viewdirs = jnp.asarray(rng.randn(R, 3).astype(np.float32))
+    # Disjoint boxes: slot-0-only, slot-1, and outside samples all exist.
+    obj_pose = jnp.asarray(np.tile(
+        np.array([[-1.0, 0, 0, 0.3, 2.0, 2.0, 2.0, 0, 0],
+                  [1.5, 0, 0, 0.0, 2.0, 2.0, 2.0, 0, 1]], np.float32),
+        (R, 1, 1)))
+    base = dict(
+        density=jnp.asarray(rng.rand(R, S).astype(np.float32)),
+        rgb=jnp.asarray(rng.rand(R, S, 3).astype(np.float32)),
+        semantic=jnp.asarray(rng.rand(R, S, 5).astype(np.float32)),
+        intensity=None)
+
+    def obj_fn(p, s, viewdirs=None, latent=None):
+        return model.apply(params, p, s, viewdirs, latent,
+                           method=lambda m, a, b, c, d: m.obj_mlp(
+                               a, b, viewdirs=c, latent=d))
+
+    lat = params["params"]["obj_latents"]
+    plain = objlib.composite_objects(
+        obj_fn, lat, pts_w, viewdirs, obj_pose, jnp.asarray(track_mask),
+        base, is_prop=False)
+    got = objlib.composite_objects(
+        obj_fn, lat, pts_w, viewdirs, obj_pose, jnp.asarray(track_mask),
+        base, is_prop=False, obj_sem_ids=(3, 255))
+    _, _, inter = objlib.box_pts(pts_w, viewdirs, obj_pose)
+    inter = np.asarray(inter)
+    sem = np.asarray(got["semantic"])
+    sem_plain = np.asarray(plain["semantic"])
+    slot0_only = inter[:, :, 0] & ~inter[:, :, 1]
+    slot1 = inter[:, :, 1]  # winner (last slot wins)
+    outside = ~inter.any(-1)
+    assert slot0_only.any() and slot1.any() and outside.any()
+    # Slot-0 wins -> one-hot(3); slot-1 wins (id 255) -> unchanged; outside
+    # -> base field output.
+    assert (sem[slot0_only].argmax(-1) == 3).all()
+    np.testing.assert_allclose(sem[slot0_only].max(-1), 1.0)
+    np.testing.assert_allclose(sem[slot1], sem_plain[slot1])
+    np.testing.assert_allclose(sem[outside], np.asarray(base["semantic"])[outside])
+    # Non-semantic channels are untouched by the override.
+    np.testing.assert_allclose(np.asarray(got["density"]),
+                               np.asarray(plain["density"]))
+    # Out-of-range id (19-class car=13 against a 5-class debug head) must
+    # fall back to the MLP output, not one_hot's silent all-zeros.
+    oor = objlib.composite_objects(
+        obj_fn, lat, pts_w, viewdirs, obj_pose, jnp.asarray(track_mask),
+        base, is_prop=False, obj_sem_ids=(13, 255))
+    np.testing.assert_allclose(np.asarray(oor["semantic"]),
+                               np.asarray(plain["semantic"]))
+
+
+def test_model_obj_sem_ids_end_to_end():
+    cfg, model, tracks, track_mask = _obj_model_setup()
+    mcfg = dataclasses.replace(model.cfg, obj_sem_ids=(3, 3))
+    labeled = Model(mcfg)
+    batch = _batch_through_origin()
+    params = labeled.init(jax.random.PRNGKey(0), None, batch, tracks=tracks,
+                          track_mask=track_mask)
+    r_lab, _ = labeled.apply(params, None, batch, tracks=tracks,
+                             track_mask=track_mask)
+    r_plain, _ = model.apply(params, None, batch, tracks=tracks,
+                             track_mask=track_mask)
+    assert bool(r_lab[-1]["obj_mask"].any())
+    # The per-slot labels must change the rendered semantics on rays that
+    # hit the boxes (the shared obj MLP's class_type stays 3 here, so the
+    # direction of change is not asserted, only that the ids are wired).
+    if "semantic" in r_lab[-1]:
+        a = np.asarray(r_lab[-1]["semantic"])
+        b = np.asarray(r_plain[-1]["semantic"])
+        assert a.shape == b.shape
