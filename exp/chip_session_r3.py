@@ -1,11 +1,11 @@
 """Round-3 post-training chip session, batched into ONE process (the
 per-process first-fetch warmup is 80-420 s; see .claude/skills/verify).
 
-Run SOLO after the scale_fast 25k run exits:
+Run SOLO after the scale_mxu 25k run exits:
     timeout 10800 python exp/chip_session_r3.py > exp/chip_session_r3.log 2>&1
 
 Order:
-  1. scale_fast endpoint artifacts: eval table, lidar_eval, replay sweeps
+  1. scale_mxu endpoint artifacts: eval table, lidar_eval, replay sweeps
      with the dynamic vehicle, removal-mode sweeps (VERDICT item 3).
   2. step_ablation: step-time decomposition incl. prop-budget variants.
   3. field_shootout: quality check of the prop/freq screening variants.
@@ -40,7 +40,7 @@ def fence(name):
     return deco
 
 
-C = ["--config_json", "exp/scale_fast/config.json"]
+C = ["--config_json", "exp/scale_mxu/config.json"]
 
 
 @fence("eval_25k")
@@ -99,7 +99,7 @@ def s8():
     # absent in removal-mode sweeps (exp/check_dynamic_sweeps.py).
     import subprocess
     subprocess.run([sys.executable, "exp/check_dynamic_sweeps.py",
-                    "exp/scale_fast"], check=True)
+                    "exp/scale_mxu"], check=True)
 
 
 if __name__ == "__main__":

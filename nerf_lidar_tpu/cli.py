@@ -82,6 +82,7 @@ def build_config(args) -> configs.Config:
         "nuscenes_multi": configs.nuscenes_multi,
         "nuscenes_multi_fast": configs.nuscenes_multi_fast,
         "nuscenes_single_mxu": configs.nuscenes_single_mxu,
+        "nuscenes_multi_mxu": configs.nuscenes_multi_mxu,
         "tiny_debug": configs.tiny_debug,
         "default": configs.Config,
     }[args.config]()
@@ -103,8 +104,14 @@ def _obj_sem_ids(classes, n: int):
 
 
 def load_scene_for(cfg: configs.Config, split: str = "train"):
-    """Dataset registry: {synthetic, nusc} (reference datasets.py:50-61 keeps
-    a loader registry; only the nuScenes path is first-class here)."""
+    """Dataset registry: {synthetic, nusc/waymo, llff/blender} (reference
+    datasets.py:50-61; the nuScenes path is first-class, llff covers
+    COLMAP captures and NGP transforms.json scenes)."""
+    if cfg.dataset_loader in ("llff", "blender", "colmap"):
+        from .data import llff
+        return llff.load_scene(
+            cfg.data_dir, split=split, factor=max(cfg.factor, 1),
+            llffhold=cfg.llffhold, forward_facing=cfg.forward_facing)
     if cfg.dataset_loader == "synthetic" or cfg.data_dir is None:
         import types
 
@@ -460,7 +467,10 @@ def _view_rays(data, i: int):
     pixtocam = (data.pixtocam if data.pixtocam.ndim == 2
                 else data.pixtocam[i])
     x, y = np.meshgrid(np.arange(data.width), np.arange(data.height))
-    rays = camlib.pixels_to_rays(x, y, pixtocam, data.camtoworlds[i])
+    rays = camlib.pixels_to_rays(x, y, pixtocam, data.camtoworlds[i],
+                                 distortion_params=data.distortion_params,
+                                 camtype=data.camtype,
+                                 pixtocam_ndc=data.pixtocam_ndc)
     rays["near"] = np.full((data.height, data.width, 1), data.near,
                            np.float32)
     rays["far"] = np.full((data.height, data.width, 1), data.far,
@@ -574,7 +584,10 @@ def cmd_render(args):
         pixtocam = (data.pixtocam if data.pixtocam.ndim == 2
                     else data.pixtocam[min(i, len(data.pixtocam) - 1)])
         x, y = np.meshgrid(np.arange(data.width), np.arange(data.height))
-        rays = camlib.pixels_to_rays(x, y, pixtocam, pose)
+        rays = camlib.pixels_to_rays(x, y, pixtocam, pose,
+                                     distortion_params=data.distortion_params,
+                                     camtype=data.camtype,
+                                     pixtocam_ndc=data.pixtocam_ndc)
         rays["near"] = np.full((data.height, data.width, 1), data.near,
                                np.float32)
         rays["far"] = np.full((data.height, data.width, 1), data.far,
@@ -669,7 +682,10 @@ def cmd_render_video(args):
         pixtocam = (data.pixtocam if data.pixtocam.ndim == 2
                     else data.pixtocam[i])
         x, y = np.meshgrid(np.arange(data.width), np.arange(data.height))
-        rays = camlib.pixels_to_rays(x, y, pixtocam, data.camtoworlds[i])
+        rays = camlib.pixels_to_rays(x, y, pixtocam, data.camtoworlds[i],
+                                     distortion_params=data.distortion_params,
+                                     camtype=data.camtype,
+                                     pixtocam_ndc=data.pixtocam_ndc)
         rays["near"] = np.full((data.height, data.width, 1), data.near,
                                np.float32)
         rays["far"] = np.full((data.height, data.width, 1), data.far,
@@ -1025,7 +1041,7 @@ def main(argv: Optional[List[str]] = None):
         sp.add_argument("--config", default="nuscenes_single",
                         choices=["nuscenes_single", "nuscenes_single_fast",
                                  "nuscenes_multi", "nuscenes_multi_fast",
-                                 "nuscenes_single_mxu",
+                                 "nuscenes_single_mxu", "nuscenes_multi_mxu",
                                  "tiny_debug", "default"])
         sp.add_argument("--config_json", default=None,
                         help="load a config.json snapshot instead of a "

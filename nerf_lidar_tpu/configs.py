@@ -200,6 +200,11 @@ class Config:
     aug_road: bool = False
     aug_delta: float = 0.1
     factor: int = 1
+    # LLFF/COLMAP captures (dataset_loader='llff', data/llff.py): test-split
+    # stride and the forward-facing NDC mode (reference configs.py llffhold
+    # + forward_facing).
+    llffhold: int = 8
+    forward_facing: bool = False
     # Cameras per frame in the scene dir: 1 (front only) or 6 (full ring,
     # reference configs.py:167 + configs/nuscenes_multi.gin).
     sensor_num: int = 6
@@ -436,12 +441,18 @@ def mxu_variant(base: Config) -> Config:
                            interp="tetra", diff_inputs=False,
                            encoder="dense_fourier", fourier_freqs=96,
                            fourier_dense_res=48, fourier_pooled=True)
+    # The per-object fields stay hashed (objects are small and few) but at
+    # the <= 2^17 row cap — the same measured gather/scatter cliff and
+    # checkpoint-size rationale as fast_variant.
+    obj_grid = dataclasses.replace(base.model.obj_mlp.grid,
+                                   log2_hashmap_size=17)
     model = dataclasses.replace(
         base.model,
         nerf_mlp=dataclasses.replace(base.model.nerf_mlp, grid=nerf_grid,
                                      ms_coarse_res_cutoff=1024),
         prop_mlp=dataclasses.replace(base.model.prop_mlp, grid=prop_grid,
                                      ms_coarse_res_cutoff=1024),
+        obj_mlp=dataclasses.replace(base.model.obj_mlp, grid=obj_grid),
     )
     return dataclasses.replace(base, model=model)
 
@@ -462,6 +473,11 @@ def bf16_variant(base: Config) -> Config:
 def nuscenes_single_mxu() -> Config:
     """nuscenes_single recipe on the matmul-resident field."""
     return mxu_variant(nuscenes_single())
+
+
+def nuscenes_multi_mxu() -> Config:
+    """nuscenes_multi (6-camera ring) on the matmul-resident field."""
+    return mxu_variant(nuscenes_multi())
 
 
 def tiny_debug() -> Config:

@@ -36,6 +36,12 @@ class SceneData:
     semantics: Optional[np.ndarray] = None  # [N, H, W] int (255 = unlabeled)
     masks: Optional[np.ndarray] = None  # [N, H, W] 1 = exclude from losses
     timestamps: Optional[np.ndarray] = None  # [N]
+    # Camera model extensions (LLFF/COLMAP scenes, data/llff.py): lens
+    # distortion inverted at ray-cast time, 'fisheye' equidistant
+    # projection, and the forward-facing NDC projection matrix.
+    distortion_params: Optional[Dict[str, float]] = None
+    camtype: str = "perspective"
+    pixtocam_ndc: Optional[np.ndarray] = None  # [3, 3]
     # LiDAR supervision rays (already in scene coordinates).
     lidar_origins: Optional[np.ndarray] = None  # [L, 3]
     lidar_dirs: Optional[np.ndarray] = None  # [L, 3] unit
@@ -127,7 +133,10 @@ class RayBatcher:
         s = self.scene
         pixtocam = s.pixtocam if s.pixtocam.ndim == 2 else s.pixtocam[cam]
         rays = camlib.pixels_to_rays(x, y, pixtocam,
-                                     s.camtoworlds[cam])
+                                     s.camtoworlds[cam],
+                                     distortion_params=s.distortion_params,
+                                     camtype=s.camtype,
+                                     pixtocam_ndc=s.pixtocam_ndc)
         n = x.shape[0]
         batch = dict(rays)
         batch["near"] = np.full((n, 1), s.near, np.float32)

@@ -79,7 +79,8 @@ def convert_to_ndc(origins: np.ndarray, directions: np.ndarray,
 
 def pixels_to_rays(pix_x_int, pix_y_int, pixtocams, camtoworlds,
                    distortion_params: Optional[Dict[str, float]] = None,
-                   camtype: str = "perspective"):
+                   camtype: str = "perspective",
+                   pixtocam_ndc: Optional[np.ndarray] = None):
     """Pixel coords -> world rays (perspective pinhole or fisheye).
 
     pix_x_int/pix_y_int: int arrays of any shape SH; pixtocams broadcastable
@@ -87,6 +88,9 @@ def pixels_to_rays(pix_x_int, pix_y_int, pixtocams, camtoworlds,
     convention (x right, y up, z backward). distortion_params: optional
     k1..k4/p1/p2 dict, inverted with undistort_points. camtype
     'fisheye' applies the equidistant model (plane radius = view angle).
+    pixtocam_ndc: optional [3,3] inverse intrinsics — forward-facing LLFF
+    mode, rays are projected into the NDC cube (camera_utils.py:457,
+    540-546); viewdirs stay world-space.
 
     Returns dict with origins, directions, viewdirs, radii [SH,1], base_x,
     base_y (unit pixel-plane bases, camera_utils.py:540-548).
@@ -128,12 +132,26 @@ def pixels_to_rays(pix_x_int, pix_y_int, pixtocams, camtoworlds,
     origins = np.broadcast_to(camtoworlds[..., :3, -1], directions.shape)
     viewdirs = directions / np.linalg.norm(directions, axis=-1, keepdims=True)
 
-    pix_x = dx - directions
-    pix_y = dy - directions
+    if pixtocam_ndc is None:
+        pix_x = dx - directions
+        pix_y = dy - directions
+    else:
+        # Forward-facing NDC: in projective space neighbor-pixel deltas
+        # live on the origins, not the directions (camera_utils.py:98-105;
+        # the reference's NDC branch leaves its base vectors unset — a
+        # latent bug there — so the origin deltas define them here).
+        origins_dx, _ = convert_to_ndc(origins, dx, pixtocam_ndc)
+        origins_dy, _ = convert_to_ndc(origins, dy, pixtocam_ndc)
+        origins, directions = convert_to_ndc(origins, directions,
+                                             pixtocam_ndc)
+        pix_x = origins_dx - origins
+        pix_y = origins_dy - origins
     dx_norm = np.linalg.norm(pix_x, axis=-1)
     dy_norm = np.linalg.norm(pix_y, axis=-1)
-    base_x = pix_x / np.linalg.norm(pix_x, axis=-1, keepdims=True)
-    base_y = pix_y / np.linalg.norm(pix_y, axis=-1, keepdims=True)
+    base_x = pix_x / np.maximum(
+        np.linalg.norm(pix_x, axis=-1, keepdims=True), 1e-12)
+    base_y = pix_y / np.maximum(
+        np.linalg.norm(pix_y, axis=-1, keepdims=True), 1e-12)
     radii = (0.5 * (dx_norm + dy_norm))[..., None] * 2 / np.sqrt(12)
 
     return dict(
@@ -158,7 +176,10 @@ def focus_point_fn(poses: np.ndarray) -> np.ndarray:
     directions, origins = poses[:, :3, 2:3], poses[:, :3, 3:4]
     m = np.eye(3) - directions * np.transpose(directions, [0, 2, 1])
     mt_m = np.transpose(m, [0, 2, 1]) @ m
-    return np.linalg.inv(mt_m.mean(0)) @ (mt_m @ origins).mean(0)[:, 0]
+    # pinv: a parallel rig (all optical axes aligned, e.g. forward-facing
+    # LLFF) makes the normal matrix singular; the pseudo-inverse returns
+    # the minimum-norm focus point instead of raising.
+    return np.linalg.pinv(mt_m.mean(0)) @ (mt_m @ origins).mean(0)[:, 0]
 
 
 def transform_poses_pca(poses: np.ndarray
@@ -199,6 +220,51 @@ def transform_poses_pca(poses: np.ndarray
 
     return poses_recentered.astype(np.float32), transform.astype(np.float32), \
         float(scale_factor)
+
+
+def average_pose(poses: np.ndarray) -> np.ndarray:
+    """[3,4] central pose: mean position, mean viewing direction, mean up
+    (LLFF view-matrix construction, reference camera_utils.py:117-130)."""
+    position = poses[:, :3, 3].mean(0)
+    z = poses[:, :3, 2].mean(0)  # OpenGL: -z is forward, so mean back-axis
+    up = poses[:, :3, 1].mean(0)
+    z = z / np.linalg.norm(z)
+    x = np.cross(up, z)
+    x = x / np.linalg.norm(x)
+    y = np.cross(z, x)
+    return np.stack([x, y, z, position], axis=-1)
+
+
+def recenter_poses(poses: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Recenter so the average pose is the identity (reference
+    camera_utils.py:133-139). Returns (new_poses [N,3,4], transform [4,4])."""
+    cam2world = average_pose(poses)
+    transform = np.linalg.inv(pad_poses(cam2world[None])[0])
+    poses_re = unpad_poses(transform[None] @ pad_poses(poses))
+    return poses_re.astype(np.float32), transform
+
+
+def generate_spiral_path(poses: np.ndarray, bounds: np.ndarray,
+                         n_frames: int = 120, n_rots: int = 2,
+                         zrate: float = 0.5) -> np.ndarray:
+    """Forward-facing spiral render path (LLFF convention, reference
+    camera_utils.py:142-160). Expects recentered poses (average pose ==
+    identity); cameras orbit an ellipse fit to the 90th-percentile spread
+    and look at a focus point `focal` in front of the rig."""
+    close_depth, inf_depth = float(bounds.min()) * 0.9, float(bounds.max())
+    dt = 0.75
+    focal = 1.0 / ((1.0 - dt) / close_depth + dt / inf_depth)
+    radii = np.percentile(np.abs(poses[:, :3, 3]), 90, axis=0)
+    target = np.array([0.0, 0.0, -focal])
+    up = np.array([0.0, 1.0, 0.0])
+    out = []
+    for theta in np.linspace(0, 2 * np.pi * n_rots, n_frames,
+                             endpoint=False):
+        eye = np.array([np.cos(theta) * radii[0],
+                        -np.sin(theta) * radii[1],
+                        -np.sin(theta * zrate) * radii[2]])
+        out.append(lookat_pose(eye, target, up=up))
+    return np.stack(out)
 
 
 def pad_poses(p: np.ndarray) -> np.ndarray:

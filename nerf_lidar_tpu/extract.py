@@ -128,7 +128,10 @@ def build_visibility_grid(model, params, scene_data, resolution: int = 128,
                            np.arange(0, s.height, pixel_stride))
         x, y = x.reshape(-1), y.reshape(-1)
         pixtocam = s.pixtocam if s.pixtocam.ndim == 2 else s.pixtocam[v]
-        rays = camlib.pixels_to_rays(x, y, pixtocam, s.camtoworlds[v])
+        rays = camlib.pixels_to_rays(x, y, pixtocam, s.camtoworlds[v],
+                                     distortion_params=s.distortion_params,
+                                     camtype=s.camtype,
+                                     pixtocam_ndc=s.pixtocam_ndc)
         n = x.shape[0]
         rays["near"] = np.full((n, 1), s.near, np.float32)
         rays["far"] = np.full((n, 1), s.far, np.float32)
