@@ -111,7 +111,9 @@ def load_scene_for(cfg: configs.Config, split: str = "train"):
         from .data import llff
         return llff.load_scene(
             cfg.data_dir, split=split, factor=max(cfg.factor, 1),
-            llffhold=cfg.llffhold, forward_facing=cfg.forward_facing)
+            llffhold=cfg.llffhold, forward_facing=cfg.forward_facing,
+            rawnerf_mode=cfg.rawnerf_mode,
+            exposure_percentile=cfg.exposure_percentile)
     if cfg.dataset_loader == "synthetic" or cfg.data_dir is None:
         import types
 

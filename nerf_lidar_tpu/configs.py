@@ -205,6 +205,11 @@ class Config:
     # + forward_facing).
     llffhold: int = 8
     forward_facing: bool = False
+    # RawNeRF: train on demosaicked linear raw mosaics from <scene>/raw/
+    # with per-view exposure scaling (reference configs.py rawnerf_mode +
+    # exposure_percentile; utils/raw.py).
+    rawnerf_mode: bool = False
+    exposure_percentile: float = 97.0
     # Cameras per frame in the scene dir: 1 (front only) or 6 (full ring,
     # reference configs.py:167 + configs/nuscenes_multi.gin).
     sensor_num: int = 6

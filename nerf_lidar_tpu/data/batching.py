@@ -42,6 +42,11 @@ class SceneData:
     distortion_params: Optional[Dict[str, float]] = None
     camtype: str = "perspective"
     pixtocam_ndc: Optional[np.ndarray] = None  # [3, 3]
+    # RawNeRF exposures (utils/raw.load_raw_dataset): per-view relative
+    # shutter value + unique-shutter index, emitted per ray so the model's
+    # exposure scaling (models/model.py:218-228) trains from data.
+    exposure_values: Optional[np.ndarray] = None  # [N]
+    exposure_idx: Optional[np.ndarray] = None  # [N] int
     # LiDAR supervision rays (already in scene coordinates).
     lidar_origins: Optional[np.ndarray] = None  # [L, 3]
     lidar_dirs: Optional[np.ndarray] = None  # [L, 3] unit
@@ -157,6 +162,12 @@ class RayBatcher:
                               if s.timestamps is not None
                               else np.zeros(n, np.float32))
         batch["lidar_mask"] = np.zeros(n, bool)
+        if s.exposure_values is not None:
+            ev = s.exposure_values[cam].astype(np.float32)
+            batch["exposure_values"] = np.repeat(ev[:, None], 3, axis=1)
+            ei = (s.exposure_idx[cam] if s.exposure_idx is not None
+                  else np.zeros(n))
+            batch["exposure_idx"] = ei.astype(np.int32)[:, None]
         return batch
 
     def _lidar_ray_batch(self, num: int) -> Dict[str, np.ndarray]:
@@ -179,6 +190,10 @@ class RayBatcher:
                               if s.lidar_timestamps is not None
                               else np.zeros(num, np.float32))
         batch["lidar_mask"] = np.ones(num, bool)
+        if s.exposure_values is not None:
+            # LiDAR rays carry the anchor exposure (no color supervision).
+            batch["exposure_values"] = np.ones((num, 3), np.float32)
+            batch["exposure_idx"] = np.zeros((num, 1), np.int32)
         return batch
 
     def _augment(self, pix_batch: Dict[str, np.ndarray]

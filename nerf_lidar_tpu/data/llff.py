@@ -78,9 +78,16 @@ def load_scene(root_dir: str, split: str = "train", factor: int = 1,
                llffhold: int = 8, forward_facing: bool = False,
                use_all_for_training: bool = False,
                near: Optional[float] = None,
-               far: Optional[float] = None) -> NuscenesScene:
+               far: Optional[float] = None,
+               rawnerf_mode: bool = False,
+               exposure_percentile: float = 97.0) -> NuscenesScene:
     """Load an LLFF-style capture directory. Returns the same scene
-    structure as nuscenes.load_scene (no LiDAR, no tracks)."""
+    structure as nuscenes.load_scene (no LiDAR, no tracks).
+
+    rawnerf_mode swaps the tonemapped images/ for demosaicked linear raw
+    mosaics from raw/ (utils/raw.load_raw_dataset) and emits per-view
+    exposure values/indices so the model's RawNeRF exposure scaling
+    trains from data (reference datasets.py:944-952)."""
     sparse = os.path.join(root_dir, "sparse", "0")
     if not os.path.isdir(sparse):
         sparse = os.path.join(root_dir, "sparse")
@@ -141,24 +148,34 @@ def load_scene(root_dir: str, split: str = "train", factor: int = 1,
     }
     indices = splits.get(split, splits["train"])
 
-    # Images: images_{factor}/ when it exists (the reference requires it),
-    # else images/ downsampled here.
-    img_dir = os.path.join(root_dir, f"images_{factor}")
-    post = 1
-    if factor <= 1 or not os.path.isdir(img_dir):
-        img_dir = os.path.join(root_dir, "images")
-        post = factor
-    files = {os.path.basename(f): f for f in sorted(os.listdir(img_dir))}
-    images = []
-    for i in indices:
-        # COLMAP names refer to the full-res originals; downsampled dirs
-        # keep the same basenames.
-        f = files.get(names[i], sorted(files.values())[i])
-        img = _imread(os.path.join(img_dir, f)).astype(np.float32) / 255.0
-        if img.ndim == 2:
-            img = np.stack([img] * 3, axis=-1)
-        images.append(_downsample(img[..., :3], post))
-    images = np.stack(images)
+    exposure_values = exposure_idx = None
+    if rawnerf_mode:
+        from ..utils import raw as rawlib
+        images, meta = rawlib.load_raw_dataset(
+            root_dir, [names[i] for i in indices],
+            exposure_percentile=exposure_percentile,
+            n_downsample=max(factor, 1))
+        exposure_values = np.asarray(meta["exposure_values"], np.float32)
+        exposure_idx = np.asarray(meta["exposure_idx"], np.int32)
+    else:
+        # Images: images_{factor}/ when it exists (the reference requires
+        # it), else images/ downsampled here.
+        img_dir = os.path.join(root_dir, f"images_{factor}")
+        post = 1
+        if factor <= 1 or not os.path.isdir(img_dir):
+            img_dir = os.path.join(root_dir, "images")
+            post = factor
+        files = {os.path.basename(f): f for f in sorted(os.listdir(img_dir))}
+        images = []
+        for i in indices:
+            # COLMAP names refer to the full-res originals; downsampled
+            # dirs keep the same basenames.
+            f = files.get(names[i], sorted(files.values())[i])
+            img = _imread(os.path.join(img_dir, f)).astype(np.float32) / 255.
+            if img.ndim == 2:
+                img = np.stack([img] * 3, axis=-1)
+            images.append(_downsample(img[..., :3], post))
+        images = np.stack(images)
 
     if pixtocam is None:  # Blender: intrinsics derive from the image size
         pixtocam = pixtocam_fn(images.shape[2] * factor,
@@ -175,7 +192,8 @@ def load_scene(root_dir: str, split: str = "train", factor: int = 1,
         images=images,
         near=float(near_out), far=float(far_out),
         distortion_params=distortion, camtype=camtype,
-        pixtocam_ndc=pixtocam_ndc)
+        pixtocam_ndc=pixtocam_ndc,
+        exposure_values=exposure_values, exposure_idx=exposure_idx)
     return NuscenesScene(
         data=data, frame=frame, cam2global=np.eye(4), tracks=None,
         track_mask=None, track_classes=[], lidar=None, splits=splits,
