@@ -206,3 +206,41 @@ def test_config_registry_llff(tmp_path):
     scene = cli.load_scene_for(cfg, "train")
     assert scene.data.num_views == 8
     assert scene.tracks is None and scene.lidar is None
+
+
+def test_forward_facing_ndc_train_step(tmp_path):
+    """A training step runs and learns on NDC rays (near=0, far=1): the
+    warp, contraction, and losses must all accept the projective-space
+    geometry the forward-facing LLFF mode produces."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from nerf_lidar_tpu import configs
+    from nerf_lidar_tpu.data.batching import RayBatcher
+    from nerf_lidar_tpu.models.model import Model
+    from nerf_lidar_tpu.train import train_step
+
+    root = _write_capture(tmp_path)
+    scene = llff.load_scene(root, split="train", llffhold=5,
+                            forward_facing=True)
+    cfg = dataclasses.replace(configs.tiny_debug(), batch_size=128,
+                              patch_size=1, lr_init=5e-3, lr_final=5e-3,
+                              lr_delay_steps=0)
+    batcher = RayBatcher(scene.data, cfg.batch_size, 1, seed=0)
+    model = Model(cfg.model)
+    batch = jax.tree.map(jnp.asarray, batcher.next())
+    params = model.init(jax.random.PRNGKey(0), None, batch)
+    state, tx = train_step.create_train_state(cfg, params)
+    step = train_step.make_train_step(model, tx, cfg)
+    key = jax.random.PRNGKey(1)
+    first = None
+    for i in range(12):
+        key, sub = jax.random.split(key)
+        batch = jax.tree.map(jnp.asarray, batcher.next())
+        state, stats = step(state, batch, sub, None, None)
+        loss = float(stats["loss"])
+        assert np.isfinite(loss)
+        first = loss if first is None else first
+    assert loss < first, (first, loss)
