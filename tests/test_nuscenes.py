@@ -205,3 +205,45 @@ def test_batcher_runs_on_loaded_scene(scene_dir):
     assert np.isfinite(batch["depth"]).all()
     # Per-view intrinsics path exercised (pixtocam is [N, 3, 3]).
     assert scene.data.pixtocam.ndim == 3
+
+
+def test_load_scene_waymo_style_minimal_dir(tmp_path):
+    """A waymo-zipnerf-style capture (images/ + poses_bounds.npy ONLY — no
+    depth, labels, masks, bboxes, timestamps, or lidar_points) loads through
+    the same path with benign defaults.
+
+    Reference waymo_zipnerf_dataset.py builds a separate Dataset class for
+    this layout; here the nuScenes loader's graceful-degradation defaults
+    (zero depth, 255 semantics, empty masks, no tracks/lidar) cover it.
+    """
+    import imageio.v2 as imageio
+    root = str(tmp_path)
+    rng = np.random.RandomState(1)
+    focal, n = 30.0, 4
+    rows = []
+    for i in range(n):
+        eye = np.array([i * 1.0, 0.0, 1.5])
+        c2w = camlib.lookat_pose(eye, eye + np.array([1.0, 0.0, 0.0]))
+        llff = np.concatenate(
+            [-c2w[:, 1:2], c2w[:, 0:1], c2w[:, 2:4]], axis=1)
+        k_col = np.array([[W / 2.0], [H / 2.0], [focal]])
+        row = np.concatenate([llff, k_col], axis=1).reshape(-1)
+        rows.append(np.concatenate([row, [2.0, 80.0], [H, W]]))
+    np.save(os.path.join(root, "poses_bounds.npy"),
+            np.stack(rows).astype(np.float32))
+    os.makedirs(os.path.join(root, "images"))
+    for i in range(n):
+        imageio.imwrite(os.path.join(root, "images", f"{i:06d}.png"),
+                        rng.randint(0, 255, (H, W, 3), np.uint8))
+
+    scene = nuscenes.load_scene(root)
+    assert scene.data.images.shape == (n, H, W, 3)
+    assert scene.tracks is None and scene.lidar is None
+    assert scene.data.timestamps is None
+    assert (scene.data.semantics == 255).all()
+    assert (scene.data.masks == 0).all()
+    # And it batches: the degenerate scene trains like any other.
+    b = RayBatcher(scene.data, batch_size=64, patch_size=1)
+    batch = b.next()
+    assert batch["origins"].shape == (64, 3)
+    assert np.isfinite(batch["viewdirs"]).all()
