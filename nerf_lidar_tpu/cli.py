@@ -480,6 +480,19 @@ def _view_rays(data, i: int):
     if data.timestamps is not None:
         rays["timestamp"] = np.full((data.height, data.width),
                                     data.timestamps[i], np.float32)
+    if data.exposure_values is not None:
+        # RawNeRF scenes: the field learns anchor-exposure radiance and
+        # scales by the per-view exposure at composite time
+        # (models/model.py:218-229); eval/render must feed the same keys
+        # the train batches carry or views are scored at the wrong
+        # brightness.
+        rays["exposure_values"] = np.full(
+            (data.height, data.width, 3),
+            np.float32(data.exposure_values[i]), np.float32)
+        ei = (int(data.exposure_idx[i])
+              if data.exposure_idx is not None else 0)
+        rays["exposure_idx"] = np.full((data.height, data.width, 1), ei,
+                                       np.int32)
     return rays
 
 

@@ -285,6 +285,14 @@ def generate_ellipse_path(poses: np.ndarray, n_frames: int = 120,
     center = focus_point_fn(poses)
     offset = np.array([center[0], center[1], 0])
     sc = np.percentile(np.abs(poses[:, :3, 3] - offset), 90, axis=0)
+    if np.linalg.norm(sc[:2]) < 1e-8:
+        # A parallel/collinear rig has no lateral spread around the focus
+        # point: every ellipse position would equal the center and the
+        # lookat poses would be NaN. Fail loudly; forward-facing captures
+        # should use generate_spiral_path.
+        raise ValueError(
+            "generate_ellipse_path: cameras have no lateral spread around "
+            "the focus point (forward-facing rig?); use the spiral path")
     low = -sc + offset
     high = sc + offset
     z_low = np.percentile(poses[:, :3, 3], 10, axis=0)
@@ -348,9 +356,17 @@ def lookat_pose(eye: np.ndarray, target: np.ndarray,
     if up is None:
         up = np.array([0.0, 0.0, 1.0])
     fwd = target - eye
-    fwd = fwd / np.linalg.norm(fwd)
+    n = np.linalg.norm(fwd)
+    if n < 1e-12:
+        raise ValueError("lookat_pose: target coincides with eye")
+    fwd = fwd / n
     z = -fwd  # OpenGL: camera looks down -z
     x = np.cross(up, z)
-    x = x / np.linalg.norm(x)
+    nx = np.linalg.norm(x)
+    if nx < 1e-8:  # looking straight along up: pick any orthogonal basis
+        up = np.array([0.0, 1.0, 0.0])
+        x = np.cross(up, z)
+        nx = np.linalg.norm(x)
+    x = x / nx
     y = np.cross(z, x)
     return np.stack([x, y, z, eye], axis=-1).astype(np.float32)

@@ -163,13 +163,23 @@ def read_cameras_txt(path: str) -> Dict[int, Camera]:
 
 def read_images_txt(path: str) -> Dict[int, Image]:
     out = {}
-    lines = [l.strip() for l in open(path)
-             if l.strip() and not l.startswith("#")]
-    for pose_line in lines[::2]:  # every other line is the 2D-point list
-        p = pose_line.split()
+    # Each image record is a pose line followed by a 2D-point line; the
+    # point line is EMPTY for images with zero observations, so records
+    # can't be recovered by filtering blanks and striding — consume the
+    # line after each pose unconditionally.
+    expect_points = False
+    for line in open(path):
+        s = line.strip()
+        if expect_points:
+            expect_points = False
+            continue
+        if not s or s.startswith("#"):
+            continue
+        p = s.split()
         out[int(p[0])] = Image(
             int(p[0]), np.array([float(x) for x in p[1:5]]),
             np.array([float(x) for x in p[5:8]]), int(p[8]), p[9])
+        expect_points = True
     return out
 
 

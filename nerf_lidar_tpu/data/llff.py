@@ -38,16 +38,7 @@ def _imread(path: str) -> np.ndarray:
     return np.asarray(imageio.imread(path))
 
 
-def _downsample(img: np.ndarray, factor: int) -> np.ndarray:
-    """Area-average downsample by an integer factor (fallback when the
-    pre-downsampled images_{factor}/ dir the reference expects is absent)."""
-    if factor <= 1:
-        return img
-    h = img.shape[0] // factor * factor
-    w = img.shape[1] // factor * factor
-    img = img[:h, :w].reshape(h // factor, factor, w // factor, factor,
-                              img.shape[-1])
-    return img.mean(axis=(1, 3))
+from ..utils.image import downsample_area as _downsample
 
 
 def load_blender_poses(data_dir: str):
@@ -130,7 +121,12 @@ def load_scene(root_dir: str, split: str = "train", factor: int = 1,
         rigid = transform.copy()
         rigid[:3, :] /= scale
         frame = SceneFrame(rigid, scale)
-        render_poses = camlib.generate_ellipse_path(poses)
+        try:
+            render_poses = camlib.generate_ellipse_path(poses)
+        except ValueError:
+            # Parallel rig loaded without forward_facing=True: the inward
+            # ellipse is undefined, the LLFF spiral still is.
+            render_poses = camlib.generate_spiral_path(poses, bounds * scale)
         # Reference 360 operating point (near 0.2 metric, far open):
         # scaled into the PCA-normalized frame.
         near_out, far_out = 0.2 * scale, 1e6 * scale
@@ -151,12 +147,19 @@ def load_scene(root_dir: str, split: str = "train", factor: int = 1,
     exposure_values = exposure_idx = None
     if rawnerf_mode:
         from ..utils import raw as rawlib
+        # Load ALL views, then subset: the exposure anchor (idx 0, the
+        # brightest shutter) and the exposure_values denominator must be
+        # computed over the whole capture so train and test agree on what
+        # "exposure 1.0" means (reference raw_utils.py:235-339 operates on
+        # the full capture before splitting).
         images, meta = rawlib.load_raw_dataset(
-            root_dir, [names[i] for i in indices],
+            root_dir, names,
             exposure_percentile=exposure_percentile,
             n_downsample=max(factor, 1))
-        exposure_values = np.asarray(meta["exposure_values"], np.float32)
-        exposure_idx = np.asarray(meta["exposure_idx"], np.int32)
+        images = images[indices]
+        exposure_values = np.asarray(meta["exposure_values"],
+                                     np.float32)[indices]
+        exposure_idx = np.asarray(meta["exposure_idx"], np.int32)[indices]
     else:
         # Images: images_{factor}/ when it exists (the reference requires
         # it), else images/ downsampled here.
@@ -165,12 +168,20 @@ def load_scene(root_dir: str, split: str = "train", factor: int = 1,
         if factor <= 1 or not os.path.isdir(img_dir):
             img_dir = os.path.join(root_dir, "images")
             post = factor
-        files = {os.path.basename(f): f for f in sorted(os.listdir(img_dir))}
+        # COLMAP names refer to the full-res originals; downsampled dirs
+        # keep the same basenames but may re-encode (e.g. .JPG -> .png),
+        # so match on the extension-less stem. Missing images are an
+        # error, not a silent positional guess.
+        files = {os.path.splitext(f)[0]: f
+                 for f in sorted(os.listdir(img_dir))}
         images = []
         for i in indices:
-            # COLMAP names refer to the full-res originals; downsampled
-            # dirs keep the same basenames.
-            f = files.get(names[i], sorted(files.values())[i])
+            stem = os.path.splitext(names[i])[0]
+            if stem not in files:
+                raise FileNotFoundError(
+                    f"{img_dir}: no image matching COLMAP entry "
+                    f"{names[i]!r}")
+            f = files[stem]
             img = _imread(os.path.join(img_dir, f)).astype(np.float32) / 255.
             if img.ndim == 2:
                 img = np.stack([img] * 3, axis=-1)

@@ -53,7 +53,6 @@ class ZipMLP(nn.Module):
         # nonlinearity stay f32 (see configs.MLPConfig.compute_dtype).
         dt = (jnp.bfloat16 if c.compute_dtype == "bfloat16"
               else jnp.float32)
-        self._dt = dt
         # 'dense_fourier': the grid keeps only the dense tiled band (rows
         # below the v5e gather cliff); the hashed high-res band becomes
         # MXU-resident Fourier features (ops/fourier.py).

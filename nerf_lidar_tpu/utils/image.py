@@ -12,6 +12,19 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def downsample_area(img: np.ndarray, factor: int) -> np.ndarray:
+    """Host-side area-average downsample of an [H, W, C] image by an
+    integer factor (reference image.py downsample; shared by the LLFF
+    loader and the raw pipeline)."""
+    if factor <= 1:
+        return img
+    h = img.shape[0] // factor * factor
+    w = img.shape[1] // factor * factor
+    img = img[:h, :w].reshape(h // factor, factor, w // factor, factor,
+                              img.shape[-1])
+    return img.mean(axis=(1, 3))
+
+
 def mse_to_psnr(mse):
     return -10.0 / np.log(10.0) * jnp.log(mse)
 

@@ -102,6 +102,35 @@ def postprocess_raw(raw: np.ndarray, camtorgb: np.ndarray,
                     (211 * np.maximum(1e-10, scaled) ** (5 / 12) - 11) / 200)
 
 
+def _parse_shutter(v) -> float:
+    """EXIF ShutterSpeed -> seconds. exiftool emits '1/250', '3/10', '2',
+    or 0.5 depending on the exposure length."""
+    if isinstance(v, (int, float)):
+        return float(v)
+    s = str(v).strip()
+    if "/" in s:
+        num, den = s.split("/")
+        return float(num) / float(den)
+    return float(s)
+
+
+def _level_map(vals, n: int, hw: Tuple[int, int]) -> np.ndarray:
+    """Per-image black/white levels -> array broadcastable against
+    [N, H, W] mosaics. DNG metadata gives either one scalar per image or
+    one value per CFA site (BlackLevelRepeatDim 2x2, row-major over the
+    RGGB pattern)."""
+    v = np.asarray(vals, np.float32).reshape(n, -1)
+    if v.shape[1] == 1:
+        return v[:, :, None]  # [N, 1, 1]
+    if v.shape[1] == 4:
+        quad = v.reshape(n, 2, 2)
+        yy, xx = np.meshgrid(np.arange(hw[0]) % 2, np.arange(hw[1]) % 2,
+                             indexing="ij")
+        return quad[:, yy, xx]  # [N, H, W]
+    raise ValueError(
+        f"unsupported per-image level count {v.shape[1]} (expected 1 or 4)")
+
+
 def process_exif(exifs: Sequence[Dict]) -> Dict:
     """EXIF dicts (exiftool -json output) -> the metadata RawNeRF needs:
     black/white levels, white balance, and the cam -> linear-sRGB color
@@ -118,7 +147,7 @@ def process_exif(exifs: Sequence[Dict]) -> Dict:
             vals = [[float(z) for z in x[key].split(" ")] for x in exifs]
         meta[key] = np.squeeze(np.array(vals))
     meta["ShutterSpeed"] = np.array(
-        [1.0 / float(x["ShutterSpeed"].split("/")[1]) for x in exifs])
+        [_parse_shutter(x["ShutterSpeed"]) for x in exifs])
 
     # cam -> sRGB: white balance (divide by AsShotNeutral), then invert the
     # row-normalized (rgb -> white-balanced-cam) matrix built from
@@ -185,13 +214,16 @@ def load_raw_dataset(data_dir: str, image_names: Optional[List[str]],
     meta["unique_shutters"] = unique_shutters
     meta["exposure_values"] = shutters / unique_shutters[0]
 
-    black = np.atleast_1d(meta["BlackLevel"]).reshape(-1, 1, 1)
-    white = np.atleast_1d(meta["WhiteLevel"]).reshape(-1, 1, 1)
+    n = len(raws)
+    black = _level_map(meta["BlackLevel"], n, raws.shape[1:])
+    white = _level_map(meta["WhiteLevel"], n, raws.shape[1:])
     images = (raws - black) / (white - black)
+
+    demosaicked = [bilinear_demosaic(im) for im in images]
 
     # Exposure point: percentile of frame 0 at full resolution, reused for
     # every visualization so brightness is comparable across logs.
-    rgb0 = bilinear_demosaic(images[0]) @ meta["cam2rgb"][0].T
+    rgb0 = demosaicked[0] @ meta["cam2rgb"][0].T
     meta["exposure"] = np.percentile(rgb0, exposure_percentile)
     meta["exposure_levels"] = {p: np.percentile(rgb0, p)
                                for p in PERCENTILE_LIST}
@@ -199,17 +231,9 @@ def load_raw_dataset(data_dir: str, image_names: Optional[List[str]],
     meta["postprocess_fn"] = (
         lambda z, x=meta["exposure"]: postprocess_raw(z, cam2rgb0, x))
 
-    def process(im):
-        rgb = bilinear_demosaic(im)
-        if n_downsample > 1:
-            h = rgb.shape[0] // n_downsample * n_downsample
-            w = rgb.shape[1] // n_downsample * n_downsample
-            rgb = rgb[:h, :w].reshape(
-                h // n_downsample, n_downsample,
-                w // n_downsample, n_downsample, 3).mean(axis=(1, 3))
-        return rgb
-
-    return np.stack([process(im) for im in images]), meta
+    from . import image as imagelib
+    return np.stack([imagelib.downsample_area(rgb, n_downsample)
+                     for rgb in demosaicked]), meta
 
 
 def best_fit_affine(x: np.ndarray, y: np.ndarray, axis):

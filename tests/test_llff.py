@@ -244,3 +244,39 @@ def test_forward_facing_ndc_train_step(tmp_path):
         assert np.isfinite(loss)
         first = loss if first is None else first
     assert loss < first, (first, loss)
+
+
+def test_colmap_images_txt_empty_points_keeps_parity(tmp_path):
+    """An image with ZERO 2D observations writes an empty points line;
+    the parser must not lose pose/points alternation for later images."""
+    sparse = str(tmp_path / "sparse" / "0")
+    os.makedirs(sparse)
+    with open(os.path.join(sparse, "cameras.txt"), "w") as f:
+        f.write("1 SIMPLE_PINHOLE 64 48 80.0 32.0 24.0\n")
+    rng = np.random.default_rng(5)
+    c2ws = [_random_c2w(rng) for _ in range(3)]
+    with open(os.path.join(sparse, "images.txt"), "w") as f:
+        f.write("# Image list\n")
+        for i, c2w in enumerate(c2ws):
+            w2c = np.linalg.inv(c2w)
+            q = quat.from_rotation_matrix(w2c[:3, :3])
+            t = w2c[:3, 3]
+            f.write(f"{i + 1} {q[0]} {q[1]} {q[2]} {q[3]} "
+                    f"{t[0]} {t[1]} {t[2]} 1 im_{i}.png\n")
+            # Middle image has no observations -> empty line.
+            f.write("\n" if i == 1 else "512.5 384.25 7 100.0 200.0 8\n")
+    names, poses, *_ = colmap.load_nerf_poses(sparse)
+    assert names == ["im_0.png", "im_1.png", "im_2.png"]
+    flip = np.diag([1.0, -1.0, -1.0, 1.0])
+    for i, c2w in enumerate(c2ws):
+        got = np.concatenate([poses[i] @ flip, np.eye(4)[3:]], axis=0)
+        assert np.allclose(got, c2w, atol=1e-6)
+
+
+def test_llff_missing_image_raises(tmp_path):
+    """A COLMAP entry whose image file is absent must fail loudly, not
+    silently pair the pose with a positionally-guessed file."""
+    root = _write_capture(tmp_path, n=6)
+    os.remove(os.path.join(root, "images", "im_002.png"))
+    with pytest.raises(FileNotFoundError, match="im_002"):
+        llff.load_scene(root, split="train")

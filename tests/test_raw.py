@@ -163,3 +163,114 @@ def test_llff_rawnerf_mode_feeds_exposures(tmp_path):
     assert batch["exposure_values"].shape == (64, 3)
     assert batch["exposure_idx"].shape == (64, 1)
     assert set(np.unique(batch["exposure_values"])) <= {0.5, 1.0}
+
+
+def test_process_exif_shutter_formats():
+    """exiftool emits '1/250' fractions, '3/10' non-unit fractions, whole
+    seconds '2', and bare floats for long exposures."""
+    exifs = []
+    for s in ("1/250", "3/10", "2", 0.5):
+        e = _exif(100)
+        e["ShutterSpeed"] = s
+        exifs.append(e)
+    meta = raw.process_exif(exifs)
+    assert np.allclose(meta["ShutterSpeed"], [1 / 250, 0.3, 2.0, 0.5])
+
+
+def test_load_raw_dataset_per_cfa_black_level(tmp_path):
+    """4-value BlackLevel (one per RGGB site, the common DNG case) must
+    subtract per mosaic position, not crash or misbroadcast."""
+    raw_dir = tmp_path / "raw"
+    os.makedirs(raw_dir)
+    h, w = 8, 10
+    blacks = np.array([[500.0, 510.0], [520.0, 530.0]])
+    names = []
+    for i in range(2):
+        mosaic = np.full((h, w), 600.0, np.float32)
+        np.save(str(raw_dir / f"b_{i}.npy"), mosaic)
+        e = _exif(100 - i)  # two unique shutters
+        e["BlackLevel"] = "500 510 520 530"
+        with open(raw_dir / f"b_{i}.json", "w") as f:
+            json.dump([e], f)
+        names.append(f"b_{i}.npy")
+    images, meta = raw.load_raw_dataset(str(tmp_path), names)
+    assert images.shape == (2, h, w, 3)
+    # Before demosaic, site (y, x) should hold (600 - black[y%2, x%2]) /
+    # (1023 - black[y%2, x%2]). Check via the observed-sample-preserving
+    # property of the bilinear demosaic on each channel's own sites.
+    want = (600.0 - blacks) / (1023.0 - blacks)
+    # R sites (even, even) carry channel 0; B sites (odd, odd) channel 2.
+    assert np.allclose(images[0, 0, 0, 0], want[0, 0], atol=1e-6)
+    assert np.allclose(images[0, 1, 1, 2], want[1, 1], atol=1e-6)
+    # G sites: (0, 1) -> black 510, (1, 0) -> black 520.
+    assert np.allclose(images[0, 0, 1, 1], want[0, 1], atol=1e-6)
+    assert np.allclose(images[0, 1, 0, 1], want[1, 0], atol=1e-6)
+
+
+def test_rawnerf_exposure_anchor_is_split_global(tmp_path):
+    """The exposure anchor (brightest shutter, idx 0) must come from the
+    WHOLE capture even when that view is held out of the split, so train
+    and test exposure_values agree on what 1.0 means."""
+    from nerf_lidar_tpu.data import colmap, llff
+    from nerf_lidar_tpu.data import quaternion as quat
+
+    n = 4
+    sparse = str(tmp_path / "sparse" / "0")
+    os.makedirs(sparse)
+    cameras = {1: colmap.Camera(1, "PINHOLE",
+                                20, 16, np.array([30.0, 30.0, 10.0, 8.0]))}
+    images = {}
+    for i in range(n):
+        c2w = np.eye(4)
+        c2w[:3, 3] = [0.2 * i, 0.0, 3.0]
+        w2c = np.linalg.inv(c2w)
+        images[i + 1] = colmap.Image(
+            i + 1, quat.from_rotation_matrix(w2c[:3, :3]), w2c[:3, 3], 1,
+            f"im_{i:03d}.npy")
+    colmap.write_cameras_bin(os.path.join(sparse, "cameras.bin"), cameras)
+    colmap.write_images_bin(os.path.join(sparse, "images.bin"), images)
+
+    raw_dir = tmp_path / "raw"
+    os.makedirs(raw_dir)
+    rng = np.random.default_rng(3)
+    denoms = [25, 100, 100, 100]  # brightest shutter ONLY on view 0
+    for i in range(n):
+        np.save(str(raw_dir / f"im_{i:03d}.npy"),
+                rng.uniform(64, 1023, (16, 20)).astype(np.float32))
+        with open(raw_dir / f"im_{i:03d}.json", "w") as f:
+            json.dump([_exif(denoms[i])], f)
+
+    # llffhold=4 holds out view 0 (the anchor) into the test split.
+    train = llff.load_scene(str(tmp_path), split="train", llffhold=4,
+                            rawnerf_mode=True)
+    test = llff.load_scene(str(tmp_path), split="test", llffhold=4,
+                           rawnerf_mode=True)
+    # Train views all have shutter 1/100; anchor is 1/25 (global).
+    assert np.allclose(train.data.exposure_values, 0.25)
+    assert np.all(train.data.exposure_idx == 1)
+    assert np.allclose(test.data.exposure_values, 1.0)
+    assert np.all(test.data.exposure_idx == 0)
+    # Render poses for this collinear rig fall back to the spiral and are
+    # finite (the inward ellipse is undefined, camera.py guard).
+    assert np.isfinite(train.render_poses).all()
+
+
+def test_view_rays_carries_exposure():
+    """eval/in-train renders must feed the same exposure keys train
+    batches carry (models/model.py:218-229)."""
+    from nerf_lidar_tpu.cli import _view_rays
+    from nerf_lidar_tpu.data.batching import SceneData
+
+    h, w = 6, 8
+    data = SceneData(
+        camtoworlds=np.tile(np.eye(4)[:3], (2, 1, 1)).astype(np.float32),
+        pixtocam=np.linalg.inv(np.array(
+            [[10.0, 0, 4], [0, 10.0, 3], [0, 0, 1]])).astype(np.float32),
+        images=np.zeros((2, h, w, 3), np.float32), near=0.1, far=10.0,
+        exposure_values=np.array([0.25, 1.0], np.float32),
+        exposure_idx=np.array([1, 0], np.int32))
+    rays = _view_rays(data, 0)
+    assert rays["exposure_values"].shape == (h, w, 3)
+    assert np.allclose(rays["exposure_values"], 0.25)
+    assert rays["exposure_idx"].shape == (h, w, 1)
+    assert np.all(rays["exposure_idx"] == 1)
