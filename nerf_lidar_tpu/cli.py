@@ -189,7 +189,9 @@ def cmd_train(args):
                          lidar_supervision=cfg.lidar_supervision,
                          lidar_batch_ratio=cfg.lidar_batch_ratio,
                          aug_road=cfg.aug_road, aug_delta=cfg.aug_delta,
-                         seed=cfg.seed)
+                         seed=cfg.seed,
+                         mask_moving=not (mcfg.instance_obj
+                                          and tracks is not None))
     model = Model(cfg.model)
     batch0 = jax.tree.map(jnp.asarray, batcher.next())
     params = jax.jit(model.init)(jax.random.PRNGKey(cfg.seed), None, batch0,
@@ -237,7 +239,10 @@ def cmd_train(args):
                           lidar_supervision=cfg.lidar_supervision,
                           lidar_batch_ratio=cfg.lidar_batch_ratio,
                           aug_road=cfg.aug_road, aug_delta=cfg.aug_delta,
-                          seed=cfg.seed + 1000 + w) for w in range(2)]
+                          seed=cfg.seed + 1000 + w,
+                          mask_moving=not (mcfg.instance_obj
+                                           and tracks is not None))
+               for w in range(2)]
     _locks = [threading.Lock() for _ in workers]
     _rr = itertools.count()
 

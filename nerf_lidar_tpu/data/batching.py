@@ -93,8 +93,14 @@ class RayBatcher:
     def __init__(self, scene: SceneData, batch_size: int, patch_size: int = 1,
                  lidar_supervision: bool = False, lidar_batch_ratio: int = 4,
                  aug_road: bool = False, aug_delta: float = 0.1,
-                 seed: int = 0):
+                 seed: int = 0, mask_moving: bool = True):
         self.scene = scene
+        # Static-only training excludes moving-object pixels from the
+        # losses; when dynamic objects are modeled (instance_obj) the
+        # reference CLEARS the moving mask (train.py:288-291) so the obj
+        # MLPs receive photometric/depth/semantic supervision. Callers
+        # pass mask_moving = not instance_obj.
+        self.mask_moving = mask_moving
         self.batch_size = batch_size
         self.patch_size = max(patch_size, 1)
         self.lidar_supervision = (lidar_supervision
@@ -155,7 +161,8 @@ class RayBatcher:
                              else np.full(n, 255, np.int32))
         batch["intensity"] = np.zeros(n, np.float32)
         excl = (s.masks[cam, y, x].astype(bool)
-                if s.masks is not None else np.zeros(n, bool))
+                if s.masks is not None and self.mask_moving
+                else np.zeros(n, bool))
         batch["exclude"] = excl
         batch["cam_idx"] = cam.astype(np.int32)[:, None]
         batch["timestamp"] = (s.timestamps[cam].astype(np.float32)

@@ -247,3 +247,25 @@ def test_load_scene_waymo_style_minimal_dir(tmp_path):
     batch = b.next()
     assert batch["origins"].shape == (64, 3)
     assert np.isfinite(batch["viewdirs"]).all()
+
+
+def test_batcher_mask_moving_semantics(scene_dir):
+    """Static-only training excludes moving-object pixels from the RGB
+    loss; with dynamic objects modeled the mask is cleared so obj MLPs
+    get photometric supervision (reference train.py:288-291)."""
+    scene = nuscenes.load_scene(scene_dir)
+    assert scene.data.masks.sum() > 0  # the fixture has moving boxes
+
+    static = RayBatcher(scene.data, batch_size=4096, patch_size=1, seed=0)
+    b = static.next()
+    # Find rays that landed on moving-mask pixels: exclude folded into
+    # rgb_mask, so some rays must be unsupervised.
+    assert (~b["rgb_mask"]).sum() > 0
+
+    dyn = RayBatcher(scene.data, batch_size=4096, patch_size=1, seed=0,
+                     mask_moving=False)
+    b2 = dyn.next()
+    # Same pixel draw (same seed): every previously-masked pixel is now
+    # supervised.
+    assert b2["rgb_mask"].sum() > b["rgb_mask"].sum()
+    assert b2["rgb_mask"].all()
