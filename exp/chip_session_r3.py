@@ -80,7 +80,8 @@ def s5():
 @fence("field_shootout")
 def s6():
     sys.argv = ["field_shootout.py", "mxu_prop1_64", "mxu_prop1_96",
-                "mxu_prop_3232", "mxu_f512", "mxu_f512_p3232"]
+                "mxu_prop_3232", "mxu_f512", "mxu_f512_p3232",
+                "mxu_speed", "mxu_speed96"]
     import field_shootout
     field_shootout.main()
 
@@ -93,6 +94,13 @@ def s7():
     sweep_bench.main()
 
 
+@fence("bf16_shootout")
+def s7b():
+    sys.argv = ["bf16_shootout.py"]
+    import bf16_shootout
+    bf16_shootout.main()
+
+
 @fence("check_dynamic_sweeps")
 def s8():
     # CPU-only artifact validation: vehicles present in replay sweeps,
@@ -103,6 +111,6 @@ def s8():
 
 
 if __name__ == "__main__":
-    for s in (s1, s2, s3, s4, s5, s6, s7, s8):
+    for s in (s1, s2, s3, s4, s5, s6, s7, s7b, s8):
         s()
     print("CHIP SESSION DONE", flush=True)

@@ -123,6 +123,10 @@ def main():
     mxu_prop1_64 = lambda: props((64,), (2048,))
     mxu_prop1_96 = lambda: props((96,), (2048,))
     mxu_prop_3232 = lambda: props((32, 32), (512, 2048))
+    # Combined speed candidates: single prop level + bf16 compute — the
+    # prospective flagship if quality holds (bench.py headline switch).
+    mxu_speed = lambda: configs.bf16_variant(props((64,), (2048,)))
+    mxu_speed96 = lambda: configs.bf16_variant(props((96,), (2048,)))
 
     def freqs(n):
         cfg = configs.nuscenes_single_mxu()
@@ -154,6 +158,8 @@ def main():
             ("mxu_prop1_64", mxu_prop1_64, STEPS),
             ("mxu_prop1_96", mxu_prop1_96, STEPS),
             ("mxu_prop_3232", mxu_prop_3232, STEPS),
+            ("mxu_speed", mxu_speed, STEPS),
+            ("mxu_speed96", mxu_speed96, STEPS),
             ("mxu_f512", mxu_f512, STEPS),
             ("mxu_f512_p3232", mxu_f512_p3232, STEPS),
             ("mxu_ewc", configs.nuscenes_single_mxu, 1265)]:
