@@ -188,6 +188,7 @@ def cmd_train(args):
     batcher = RayBatcher(data, cfg.batch_size, cfg.patch_size,
                          lidar_supervision=cfg.lidar_supervision,
                          lidar_batch_ratio=cfg.lidar_batch_ratio,
+                         only_lidar_depth=cfg.only_lidar_supervision,
                          aug_road=cfg.aug_road, aug_delta=cfg.aug_delta,
                          seed=cfg.seed,
                          mask_moving=not (mcfg.instance_obj
@@ -238,6 +239,7 @@ def cmd_train(args):
     workers = [RayBatcher(data, cfg.batch_size, cfg.patch_size,
                           lidar_supervision=cfg.lidar_supervision,
                           lidar_batch_ratio=cfg.lidar_batch_ratio,
+                          only_lidar_depth=cfg.only_lidar_supervision,
                           aug_road=cfg.aug_road, aug_delta=cfg.aug_delta,
                           seed=cfg.seed + 1000 + w,
                           mask_moving=not (mcfg.instance_obj

@@ -194,6 +194,10 @@ class Config:
     patch_size: int = 32
     lidar_supervision: bool = False
     lidar_batch_ratio: int = 4
+    # Depth supervision from LiDAR rays only — camera-depth rows drop out
+    # of the depth loss (reference configs.py `only_lidar_supervison`,
+    # train.py:321-322).
+    only_lidar_supervision: bool = False
     # Road-ray augmentation (reference configs.py aug_road +
     # datasets.py:536-564 `_augment`): append pixel_rays // 4 extra rays
     # that re-view road-surface hit points from perturbed origins.

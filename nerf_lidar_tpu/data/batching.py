@@ -93,7 +93,8 @@ class RayBatcher:
     def __init__(self, scene: SceneData, batch_size: int, patch_size: int = 1,
                  lidar_supervision: bool = False, lidar_batch_ratio: int = 4,
                  aug_road: bool = False, aug_delta: float = 0.1,
-                 seed: int = 0, mask_moving: bool = True):
+                 seed: int = 0, mask_moving: bool = True,
+                 only_lidar_depth: bool = False):
         self.scene = scene
         # Static-only training excludes moving-object pixels from the
         # losses; when dynamic objects are modeled (instance_obj) the
@@ -101,6 +102,9 @@ class RayBatcher:
         # MLPs receive photometric/depth/semantic supervision. Callers
         # pass mask_moving = not instance_obj.
         self.mask_moving = mask_moving
+        # Reference train.py:321-322 (`only_lidar_supervison`): depth loss
+        # only on LiDAR-return rows.
+        self.only_lidar_depth = only_lidar_depth
         self.batch_size = batch_size
         self.patch_size = max(patch_size, 1)
         self.lidar_supervision = (lidar_supervision
@@ -248,6 +252,8 @@ class RayBatcher:
         patch_mask[: self.num_patch_rays] = True
         rgb_mask = (~exclude) & (~patch_mask) & (~lidar)
         depth_mask = ((batch["depth"] > 0) & rgb_mask) | lidar
+        if self.only_lidar_depth:
+            depth_mask = lidar.astype(bool)
         sem_mask = (batch["semantic"] != 255) & rgb_mask & (~lidar)
         batch["rgb_mask"] = rgb_mask
         batch["depth_mask"] = depth_mask

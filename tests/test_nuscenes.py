@@ -269,3 +269,14 @@ def test_batcher_mask_moving_semantics(scene_dir):
     # supervised.
     assert b2["rgb_mask"].sum() > b["rgb_mask"].sum()
     assert b2["rgb_mask"].all()
+
+
+def test_batcher_only_lidar_depth(scene_dir):
+    """only_lidar_supervision: depth loss restricted to LiDAR-return rows
+    (reference train.py:321-322)."""
+    scene = nuscenes.load_scene(scene_dir)
+    b = RayBatcher(scene.data, batch_size=256, patch_size=1,
+                   lidar_supervision=True, only_lidar_depth=True,
+                   seed=0).next()
+    assert b["depth_mask"].sum() == b["lidar_mask"].sum() > 0
+    assert not (b["depth_mask"] & ~b["lidar_mask"]).any()
