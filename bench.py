@@ -4,13 +4,16 @@ Prints ONE JSON line:
   {"metric": "train_rays_per_sec", "value": N, "unit": "rays/s",
    "vs_baseline": R, "full_recipe_rays_per_sec": M}
 
-Benched config: `nuscenes_single_mxu` — the matmul-resident field (dense
-tiled band below the v5e gather cliff + pooled single-Gaussian-IPE Fourier
-features, ops/fourier.py). Quality context (BASELINE.md): the pooled
-spectral field measures +0.2 dB AND +30% rays/s over the round-2 mxu
-field on the 400-step oracle; at-scale it runs 1-2 dB behind the hash
-fast config at equal steps while stepping ~4x faster. The hash operating
-points (reference-exact ~3.4k, fast ~7.2k rays/s) are in BASELINE.md.
+Benched config: `nuscenes_single_speed` — the matmul-resident spectral
+field (dense tiled band below the v5e gather cliff + pooled
+single-Gaussian-IPE Fourier features, ops/fourier.py) with the round-4
+speed levers: ONE 64-sample proposal level, bf16 matmuls, and a
+512-frequency bank (configs.speed_variant). Quality context
+(exp/field_shootout/results.json + BASELINE.md round-4): on the 400-step
+oracle the speed flagship measures 60.9k rays/s @ 29.55 dB vs the round-3
+mxu flagship's 35.4k @ 29.08 — 1.7x the throughput at +0.5 dB. The hash
+operating points (reference-exact ~3.4k, fast ~8.8k rays/s) are in
+BASELINE.md.
 
 `value` is the reference's own throughput definition (rays/sec =
 batch_size x steps/sec, train.py:485) on the single-field training
@@ -150,7 +153,7 @@ def main():
                                         desired_resolution=16,
                                         log2_hashmap_size=8))))
     else:
-        base = configs.nuscenes_single_mxu()
+        base = configs.nuscenes_single_speed()
     cfg = dataclasses.replace(
         base, model=dataclasses.replace(base.model, instance_obj=False),
         batch_size=batch_size, patch_size=1, lidar_supervision=False,

@@ -143,6 +143,13 @@ def main():
     mxu_f512_p3232 = lambda: dataclasses.replace(
         freqs(512), model=dataclasses.replace(
             freqs(512).model, num_prop_samples=(32, 32)))
+    # f512 is ~free at mxu speed (+0.35 dB); stack it on the speed levers.
+    mxu_speed_f512 = lambda: configs.bf16_variant(dataclasses.replace(
+        freqs(512), model=dataclasses.replace(
+            freqs(512).model, num_prop_samples=(64,),
+            prop_desired_grid_size=(2048,))))
+    # The named round-4 flagship preset, benched as shipped.
+    speed = lambda: configs.nuscenes_single_speed()
 
     todo = sys.argv[1:] or ["fast", "mxu"]
     # mxu_ewc: equal WALL CLOCK with fast's 400 steps — the spectral field
@@ -162,6 +169,8 @@ def main():
             ("mxu_speed96", mxu_speed96, STEPS),
             ("mxu_f512", mxu_f512, STEPS),
             ("mxu_f512_p3232", mxu_f512_p3232, STEPS),
+            ("mxu_speed_f512", mxu_speed_f512, STEPS),
+            ("speed", speed, STEPS),
             ("mxu_ewc", configs.nuscenes_single_mxu, 1265)]:
         if name in todo:
             results[name] = run(name, make(), steps)

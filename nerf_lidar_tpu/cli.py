@@ -83,6 +83,8 @@ def build_config(args) -> configs.Config:
         "nuscenes_multi_fast": configs.nuscenes_multi_fast,
         "nuscenes_single_mxu": configs.nuscenes_single_mxu,
         "nuscenes_multi_mxu": configs.nuscenes_multi_mxu,
+        "nuscenes_single_speed": configs.nuscenes_single_speed,
+        "nuscenes_multi_speed": configs.nuscenes_multi_speed,
         "tiny_debug": configs.tiny_debug,
         "default": configs.Config,
     }[args.config]()
@@ -108,12 +110,15 @@ def load_scene_for(cfg: configs.Config, split: str = "train"):
     datasets.py:50-61; the nuScenes path is first-class, llff covers
     COLMAP captures and NGP transforms.json scenes)."""
     if cfg.dataset_loader in ("llff", "blender", "colmap"):
+        import jax
         from .data import llff
         return llff.load_scene(
             cfg.data_dir, split=split, factor=max(cfg.factor, 1),
             llffhold=cfg.llffhold, forward_facing=cfg.forward_facing,
             rawnerf_mode=cfg.rawnerf_mode,
-            exposure_percentile=cfg.exposure_percentile)
+            exposure_percentile=cfg.exposure_percentile,
+            process_index=jax.process_index(),
+            process_count=jax.process_count())
     if cfg.dataset_loader == "synthetic" or cfg.data_dir is None:
         import types
 
@@ -131,7 +136,8 @@ def load_scene_for(cfg: configs.Config, split: str = "train"):
         sensor_num=cfg.sensor_num,
         load_lidar=cfg.lidar_supervision or split == "lidar",
         load_objects=cfg.model.instance_obj,
-        semantic_dilate=cfg.semantic_dilate)
+        semantic_dilate=cfg.semantic_dilate,
+        load_normals=cfg.normal_supervision and split == "train")
 
 
 def exp_dir(cfg: configs.Config) -> str:
@@ -190,6 +196,7 @@ def cmd_train(args):
                          lidar_batch_ratio=cfg.lidar_batch_ratio,
                          only_lidar_depth=cfg.only_lidar_supervision,
                          aug_road=cfg.aug_road, aug_delta=cfg.aug_delta,
+                         apply_bayer_mask=cfg.apply_bayer_mask,
                          seed=cfg.seed,
                          mask_moving=not (mcfg.instance_obj
                                           and tracks is not None))
@@ -241,6 +248,7 @@ def cmd_train(args):
                           lidar_batch_ratio=cfg.lidar_batch_ratio,
                           only_lidar_depth=cfg.only_lidar_supervision,
                           aug_road=cfg.aug_road, aug_delta=cfg.aug_delta,
+                          apply_bayer_mask=cfg.apply_bayer_mask,
                           seed=cfg.seed + 1000 + w,
                           mask_moving=not (mcfg.instance_obj
                                            and tracks is not None))
@@ -1064,6 +1072,8 @@ def main(argv: Optional[List[str]] = None):
                         choices=["nuscenes_single", "nuscenes_single_fast",
                                  "nuscenes_multi", "nuscenes_multi_fast",
                                  "nuscenes_single_mxu", "nuscenes_multi_mxu",
+                                 "nuscenes_single_speed",
+                                 "nuscenes_multi_speed",
                                  "tiny_debug", "default"])
         sp.add_argument("--config_json", default=None,
                         help="load a config.json snapshot instead of a "

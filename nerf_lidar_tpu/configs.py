@@ -213,6 +213,10 @@ class Config:
     # with per-view exposure scaling (reference configs.py rawnerf_mode +
     # exposure_percentile; utils/raw.py).
     rawnerf_mode: bool = False
+    # Supervise only the Bayer-observed channel of each demosaicked pixel
+    # (reference configs.py:137 + datasets.py:739-741): emitted as a
+    # per-ray-per-channel lossmult by the batcher.
+    apply_bayer_mask: bool = False
     exposure_percentile: float = 97.0
     # Cameras per frame in the scene dir: 1 (front only) or 6 (full ring,
     # reference configs.py:167 + configs/nuscenes_multi.gin).
@@ -321,6 +325,14 @@ class Config:
                 "obj_mlp.grid.diff_inputs=False requires track_refine and "
                 "pose_refine off: track deltas move object-frame sample "
                 "positions through the encode.")
+        if self.normal_supervision and (
+                self.model.nerf_mlp.disable_density_normals
+                and not self.model.nerf_mlp.enable_pred_normals):
+            raise ValueError(
+                "normal_supervision=True supervises renderings[-1]"
+                "['normals'] (reference train.py:358-363), so the NeRF MLP "
+                "must produce normals: set nerf_mlp."
+                "disable_density_normals=False or enable_pred_normals=True.")
         if (self.model.instance_obj and self.model.use_semantic
                 and self.model.obj_mlp.class_num
                 != self.model.nerf_mlp.class_num):
@@ -479,6 +491,31 @@ def bf16_variant(base: Config) -> Config:
     return dataclasses.replace(base, model=model)
 
 
+def speed_variant(base: Config) -> Config:
+    """Round-4 flagship levers on top of the spectral field:
+
+    (a) ONE 64-sample proposal level — the reference's two 64-sample
+        levels exist to keep CUDA sample counts low; on TPU the second
+        level's extra resample + MLP launch costs more than it saves
+        (mxu_prop1_64: 60.8k rays/s vs mxu's 35.4k at -0.11 dB);
+    (b) bf16 matmuls (f32 params/encode/compositing);
+    (c) a 512-frequency Fourier bank — pooled IPE made the bank nearly
+        free, and the extra capacity buys +0.5 dB.
+
+    Measured on the 400-step oracle (exp/field_shootout/results.json):
+    mxu_speed_f512 60,908 rays/s @ 29.55 dB vs mxu 35,448 @ 29.08 —
+    1.7x the throughput at +0.5 dB."""
+    cfg = bf16_variant(base)
+    m = cfg.model
+    nerf = dataclasses.replace(
+        m.nerf_mlp,
+        grid=dataclasses.replace(m.nerf_mlp.grid, fourier_freqs=512))
+    return dataclasses.replace(
+        cfg, model=dataclasses.replace(m, nerf_mlp=nerf,
+                                       num_prop_samples=(64,),
+                                       prop_desired_grid_size=(2048,)))
+
+
 def nuscenes_single_mxu() -> Config:
     """nuscenes_single recipe on the matmul-resident field."""
     return mxu_variant(nuscenes_single())
@@ -487,6 +524,16 @@ def nuscenes_single_mxu() -> Config:
 def nuscenes_multi_mxu() -> Config:
     """nuscenes_multi (6-camera ring) on the matmul-resident field."""
     return mxu_variant(nuscenes_multi())
+
+
+def nuscenes_single_speed() -> Config:
+    """nuscenes_single_mxu + speed_variant — the round-4 flagship."""
+    return speed_variant(nuscenes_single_mxu())
+
+
+def nuscenes_multi_speed() -> Config:
+    """nuscenes_multi_mxu + speed_variant — the round-4 at-scale flagship."""
+    return speed_variant(nuscenes_multi_mxu())
 
 
 def tiny_debug() -> Config:

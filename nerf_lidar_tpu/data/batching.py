@@ -36,6 +36,10 @@ class SceneData:
     semantics: Optional[np.ndarray] = None  # [N, H, W] int (255 = unlabeled)
     masks: Optional[np.ndarray] = None  # [N, H, W] 1 = exclude from losses
     timestamps: Optional[np.ndarray] = None  # [N]
+    # Pseudo-normal supervision maps (reference datasets.py:1486-1497):
+    # world/scene-frame unit normals per pixel, already rotated out of the
+    # camera frame by the loader.
+    normals: Optional[np.ndarray] = None  # [N, H, W, 3]
     # Camera model extensions (LLFF/COLMAP scenes, data/llff.py): lens
     # distortion inverted at ray-cast time, 'fisheye' equidistant
     # projection, and the forward-facing NDC projection matrix.
@@ -94,7 +98,8 @@ class RayBatcher:
                  lidar_supervision: bool = False, lidar_batch_ratio: int = 4,
                  aug_road: bool = False, aug_delta: float = 0.1,
                  seed: int = 0, mask_moving: bool = True,
-                 only_lidar_depth: bool = False):
+                 only_lidar_depth: bool = False,
+                 apply_bayer_mask: bool = False):
         self.scene = scene
         # Static-only training excludes moving-object pixels from the
         # losses; when dynamic objects are modeled (instance_obj) the
@@ -105,6 +110,9 @@ class RayBatcher:
         # Reference train.py:321-322 (`only_lidar_supervison`): depth loss
         # only on LiDAR-return rows.
         self.only_lidar_depth = only_lidar_depth
+        # RawNeRF mosaics: supervise only the channel each RGGB pixel
+        # actually observed (reference datasets.py:735-741).
+        self.apply_bayer_mask = apply_bayer_mask
         self.batch_size = batch_size
         self.patch_size = max(patch_size, 1)
         self.lidar_supervision = (lidar_supervision
@@ -173,6 +181,11 @@ class RayBatcher:
                               if s.timestamps is not None
                               else np.zeros(n, np.float32))
         batch["lidar_mask"] = np.zeros(n, bool)
+        if self.apply_bayer_mask:
+            from ..utils import raw as rawlib
+            batch["lossmult"] = rawlib.pixels_to_bayer_mask(x, y)
+        if s.normals is not None:
+            batch["normals"] = s.normals[cam, y, x].astype(np.float32)
         if s.exposure_values is not None:
             ev = s.exposure_values[cam].astype(np.float32)
             batch["exposure_values"] = np.repeat(ev[:, None], 3, axis=1)
@@ -201,6 +214,15 @@ class RayBatcher:
                               if s.lidar_timestamps is not None
                               else np.zeros(num, np.float32))
         batch["lidar_mask"] = np.ones(num, bool)
+        if self.apply_bayer_mask:
+            # LiDAR rows carry no color supervision; neutral weight.
+            batch["lossmult"] = np.ones((num, 3), np.float32)
+        if s.normals is not None:
+            # LiDAR returns carry the flat-ground pseudo-normal [0, 0, 1]
+            # (reference datasets.py:625-626); they are rgb_mask-excluded
+            # so the normal loss never actually fires on them.
+            batch["normals"] = np.tile(
+                np.array([0.0, 0.0, 1.0], np.float32), (num, 1))
         if s.exposure_values is not None:
             # LiDAR rays carry the anchor exposure (no color supervision).
             batch["exposure_values"] = np.ones((num, 3), np.float32)

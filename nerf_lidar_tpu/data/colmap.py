@@ -176,9 +176,12 @@ def read_images_txt(path: str) -> Dict[int, Image]:
         if not s or s.startswith("#"):
             continue
         p = s.split()
+        # The image name is the remainder of the pose line — filenames may
+        # contain spaces (COLMAP writes them verbatim).
         out[int(p[0])] = Image(
             int(p[0]), np.array([float(x) for x in p[1:5]]),
-            np.array([float(x) for x in p[5:8]]), int(p[8]), p[9])
+            np.array([float(x) for x in p[5:8]]), int(p[8]),
+            " ".join(p[9:]))
         expect_points = True
     return out
 

@@ -71,7 +71,9 @@ def load_scene(root_dir: str, split: str = "train", factor: int = 1,
                near: Optional[float] = None,
                far: Optional[float] = None,
                rawnerf_mode: bool = False,
-               exposure_percentile: float = 97.0) -> NuscenesScene:
+               exposure_percentile: float = 97.0,
+               process_index: int = 0,
+               process_count: int = 1) -> NuscenesScene:
     """Load an LLFF-style capture directory. Returns the same scene
     structure as nuscenes.load_scene (no LiDAR, no tracks).
 
@@ -125,8 +127,15 @@ def load_scene(root_dir: str, split: str = "train", factor: int = 1,
             render_poses = camlib.generate_ellipse_path(poses)
         except ValueError:
             # Parallel rig loaded without forward_facing=True: the inward
-            # ellipse is undefined, the LLFF spiral still is.
-            render_poses = camlib.generate_spiral_path(poses, bounds * scale)
+            # ellipse is undefined, the LLFF spiral still is — but the
+            # spiral's contract wants recentered poses (average pose ==
+            # identity), not the PCA frame. Generate it there, then map
+            # the path back into the PCA frame the model was trained in.
+            sp_poses, t_re = camlib.recenter_poses(poses)
+            spiral = camlib.generate_spiral_path(sp_poses, bounds * scale)
+            t_inv = np.linalg.inv(t_re)
+            render_poses = camlib.unpad_poses(
+                t_inv[None] @ camlib.pad_poses(spiral)).astype(np.float32)
         # Reference 360 operating point (near 0.2 metric, far open):
         # scaled into the PCA-normalized frame.
         near_out, far_out = 0.2 * scale, 1e6 * scale
@@ -143,6 +152,11 @@ def load_scene(root_dir: str, split: str = "train", factor: int = 1,
                   else all_idx[all_idx % llffhold != 0]),
     }
     indices = splits.get(split, splits["train"])
+    if split == "train" and process_count > 1:
+        # Multi-host: shard TRAIN images round-robin by rank so each host
+        # only holds 1/world of the pixels (reference datasets.py:931-935;
+        # the nuScenes path replicates instead, matching datasets.py:1336).
+        indices = indices[process_index::process_count]
 
     exposure_values = exposure_idx = None
     if rawnerf_mode:

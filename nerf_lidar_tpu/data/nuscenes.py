@@ -105,7 +105,12 @@ def load_moving_masks(root_dir: str, indices, segmentation: np.ndarray,
                 else:
                     m[y0:y1, x0:x1] = 0
         if indices[count] < front_num:
-            m[800:, :] = 0  # ego-vehicle hood on front cameras
+            # Ego-vehicle hood on front cameras. The reference masks rows
+            # >= 800 at the native 900-row resolution (datasets.py:1311-1320);
+            # scale the cut with the loaded image height so downsampled
+            # loads (factor > 1) still exclude the hood instead of silently
+            # no-opping.
+            m[int(round(800.0 * height / 900.0)):, :] = 0
         out.append(m)
     if not out:
         return None, seg
@@ -318,7 +323,8 @@ def load_scene(root_dir: str, split: str = "train", factor: int = 1,
                llffhold: int = 10, use_all_for_training: bool = True,
                sensor_num: int = 6, load_lidar: bool = True,
                load_objects: bool = True,
-               semantic_dilate: bool = True) -> NuscenesScene:
+               semantic_dilate: bool = True,
+               load_normals: bool = False) -> NuscenesScene:
     """Load a full scene directory into framework structures.
 
     Splits (datasets.py:1254-1263): LIDAR = first 2 frames, TEST = every
@@ -364,6 +370,27 @@ def load_scene(root_dir: str, split: str = "train", factor: int = 1,
     semantics = _aligned("labels",
                          lambda p: _imread(p).astype(np.int32),
                          np.full(images.shape[:3], 255, np.int32))
+
+    normals = None
+    if load_normals:
+        # Pseudo-normal sidecars (reference datasets.py:1486-1497):
+        # normals/%06d_normal.png hold CAMERA-frame normals encoded
+        # (n+1)/2*255; decode and rotate to the scene frame with the
+        # (PCA-recentered) camera rotation — rotations commute with the
+        # rigid recentering, so supervising in the scene frame matches the
+        # reference's world-frame supervision.
+        ndir = os.path.join(root_dir, "normals")
+        if os.path.isdir(ndir) and os.listdir(ndir):
+            nfiles = sorted(os.listdir(ndir))
+            local = np.stack(
+                [_imread(os.path.join(ndir, nfiles[i])) for i in indices],
+                0).astype(np.float32)[..., :3] / 255.0 * 2.0 - 1.0
+            rot = poses_rc[indices][:, :3, :3]
+            normals = np.einsum("nij,nhwj->nhwi", rot, local)
+        else:
+            raise FileNotFoundError(
+                f"normal_supervision requested but {ndir} has no "
+                "normal PNGs (expected normals/%06d_normal.png)")
 
     masks_keep, semantics = load_moving_masks(
         root_dir, indices, semantics, h, w, sensor_num, num,
@@ -416,7 +443,7 @@ def load_scene(root_dir: str, split: str = "train", factor: int = 1,
         camtoworlds=poses_rc[indices],
         pixtocam=np.linalg.inv(K[indices]).astype(np.float32),
         images=images, near=near, far=far, depths=depths,
-        semantics=semantics, masks=masks_exclude,
+        semantics=semantics, masks=masks_exclude, normals=normals,
         timestamps=(timestamps[indices].astype(np.float32)
                     if timestamps is not None else None),
         **lidar_fields)

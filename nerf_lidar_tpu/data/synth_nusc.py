@@ -60,7 +60,8 @@ def write_scene_dir(root: str, num_frames: int = 12, sensor_num: int = 6,
                     ego_speed: float = 3.0, frame_dt: float = 0.5,
                     moving_radius: float = 1.3,
                     lidar_points_per_beam: int = 256,
-                    num_sweeps: Optional[int] = None) -> str:
+                    num_sweeps: Optional[int] = None,
+                    write_normals: bool = False) -> str:
     """Render and write the scene directory. Returns `root`.
 
     Image order matches the loader's sensor blocks (data/nuscenes.py:86):
@@ -70,7 +71,10 @@ def write_scene_dir(root: str, num_frames: int = 12, sensor_num: int = 6,
     static = _corridor_scene(seed)
     rng = np.random.RandomState(seed + 1)
     os.makedirs(root, exist_ok=True)
-    for d in ("images", "depth", "labels", "mask"):
+    dirs_to_make = ["images", "depth", "labels", "mask"]
+    if write_normals:
+        dirs_to_make.append("normals")
+    for d in dirs_to_make:
         os.makedirs(os.path.join(root, d), exist_ok=True)
 
     ego = np.stack([np.stack([ego_speed * f, 0.0, 1.8])
@@ -102,6 +106,17 @@ def write_scene_dir(root: str, num_frames: int = 12, sensor_num: int = 6,
                             depth_png.astype(np.uint16))
             imageio.imwrite(os.path.join(root, "labels", f"{idx:06d}.png"),
                             gt["semantic"].astype(np.uint8))
+            if write_normals:
+                # Pseudo-normal sidecars in the reference layout
+                # (normals/%06d_normal.png, datasets.py:1276): CAMERA-frame
+                # unit normals encoded (n+1)/2*255; the loader rotates them
+                # back to the scene frame with the camera pose rotation
+                # (datasets.py:1486-1497).
+                n_cam = gt["normal"] @ c2w[:, :3]  # R^T n_world, per pixel
+                enc = np.clip((n_cam + 1.0) * 0.5 * 255.0, 0, 255)
+                imageio.imwrite(
+                    os.path.join(root, "normals", f"{idx:06d}_normal.png"),
+                    enc.astype(np.uint8))
             # Moving-object 2D box (class 13 = car) for the mask file.
             box = _project_box(c2w, focal, height, width,
                                _moving_center(t), moving_radius)

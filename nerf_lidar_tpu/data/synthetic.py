@@ -58,6 +58,9 @@ class SphereScene:
         t_hit = np.full(n, np.inf)
         rgb = np.tile(self.sky_color, (n, 1)).astype(np.float64)
         sem = np.full(n, SKY_CLASS, np.int32)
+        # Sky keeps the up-vector placeholder; supervision masks sky out
+        # (reference train.py:358-363 gates on semantic != 10).
+        nrm = np.tile(np.array([0.0, 0.0, 1.0]), (n, 1))
 
         # Spheres.
         for c, r, col, cls in zip(self.centers, self.radii, self.colors,
@@ -79,6 +82,7 @@ class SphereScene:
             t_hit = np.where(valid, t0, t_hit)
             rgb = np.where(valid[:, None], col * shade[:, None], rgb)
             sem = np.where(valid, cls, sem)
+            nrm = np.where(valid[:, None], normal, nrm)
 
         # Ground plane z = ground_z.
         dz = d[:, 2]
@@ -91,6 +95,7 @@ class SphereScene:
         t_hit = np.where(valid, t_g, t_hit)
         rgb = np.where(valid[:, None], gcol, rgb)
         sem = np.where(valid, GROUND_CLASS, sem)
+        nrm = np.where(valid[:, None], np.array([0.0, 0.0, 1.0]), nrm)
 
         hit_mask = np.isfinite(t_hit)
         depth = np.where(hit_mask, t_hit, t_max)
@@ -100,6 +105,7 @@ class SphereScene:
             depth=depth.reshape(shape).astype(np.float32),
             semantic=sem.reshape(shape).astype(np.int32),
             intensity=intensity.reshape(shape).astype(np.float32),
+            normal=nrm.reshape(shape + (3,)).astype(np.float32),
             hit=hit_mask.reshape(shape))
 
 
@@ -147,7 +153,7 @@ def make_scene_data(num_views: int = 8, height: int = 32, width: int = 48,
     data = batching.SceneData(
         camtoworlds=poses, pixtocam=pixtocam, images=views["rgb"],
         near=near, far=far, depths=views["depth"],
-        semantics=views["semantic"],
+        semantics=views["semantic"], normals=views["normal"],
         masks=np.zeros(views["rgb"].shape[:3], np.float32),
         timestamps=np.arange(num_views, dtype=np.float32), **lidar)
     return scene, data, views
@@ -156,7 +162,8 @@ def make_scene_data(num_views: int = 8, height: int = 32, width: int = 48,
 def render_views(scene: SphereScene, poses: np.ndarray, height: int,
                  width: int, focal: float) -> Dict[str, np.ndarray]:
     """Ray-trace ground-truth images for each pose: dict of [N, H, W, ...]."""
-    outs = {"rgb": [], "depth": [], "semantic": [], "intensity": []}
+    outs = {"rgb": [], "depth": [], "semantic": [], "intensity": [],
+            "normal": []}
     rays_all = {k: [] for k in
                 ("origins", "directions", "viewdirs", "radii", "base_x",
                  "base_y")}

@@ -108,12 +108,18 @@ def volumetric_rendering(rgbs, weights, tdist, bg_rgbs, t_far,
             intensity = intensity[..., 0]
         rendering["intensity"] = (w_int * intensity).sum(axis=-1)
 
+    # Normals (and other per-sample extras) composite whenever present:
+    # the extras dict is only non-empty when the MLP actually computed
+    # them, and normal_supervision needs renderings['normals'] during
+    # training (reference train.py:271 passes compute_extras=True in the
+    # train loop; we keep the expensive distance statistics gated instead).
+    if extras is not None:
+        for k, v in extras.items():
+            if v is not None:
+                rendering[k] = (weights[..., None] * v).sum(axis=-2)
+
     if compute_extras:
         rendering["acc"] = acc
-        if extras is not None:
-            for k, v in extras.items():
-                if v is not None:
-                    rendering[k] = (weights[..., None] * v).sum(axis=-2)
 
         expectation = lambda x: (weights * x).sum(axis=-1) / jnp.maximum(acc, _EPS)
         rendering["distance_mean"] = jnp.clip(

@@ -43,9 +43,15 @@ def masked_quantile(x, mask, q: float):
 
 
 def data_loss(batch, renderings, config: Config):
-    """Charbonnier / MSE photometric loss (train_utils.py:55-117)."""
+    """Charbonnier / MSE / rawnerf photometric loss (train_utils.py:55-117).
+
+    Per-ray-per-channel `lossmult` (e.g. the Bayer mosaic mask on raw
+    captures, reference datasets.py:739-741) composes with the ray-level
+    rgb_mask."""
     lossmult = batch["rgb_mask"][..., None].astype(jnp.float32)
     lossmult = jnp.broadcast_to(lossmult, batch["rgb"][..., :3].shape)
+    if "lossmult" in batch:
+        lossmult = lossmult * batch["lossmult"]
 
     losses: List[jax.Array] = []
     mses: List[jax.Array] = []
@@ -57,6 +63,14 @@ def data_loss(batch, renderings, config: Config):
             dl = resid_sq
         elif config.data_loss_type == "charb":
             dl = jnp.sqrt(resid_sq + config.charb_padding**2)
+        elif config.data_loss_type == "rawnerf":
+            # Clip the render against 1 (sensor overexposure) and reweight
+            # by the gradient of the log tonemapping curve so dark linear-
+            # HDR regions are not drowned out (train_utils.py:80-87).
+            rgb_clip = jnp.minimum(rendering["rgb"], 1.0)
+            resid_sq_clip = (rgb_clip - batch["rgb"][..., :3]) ** 2
+            scaling_grad = 1.0 / (1e-3 + jax.lax.stop_gradient(rgb_clip))
+            dl = resid_sq_clip * scaling_grad**2
         else:
             raise NotImplementedError(config.data_loss_type)
         losses.append((lossmult * dl).sum() / denom)

@@ -143,8 +143,12 @@ def process_exif(exifs: Sequence[Dict]) -> Dict:
             continue
         if isinstance(v, (int, float)):
             vals = [x[key] for x in exifs]
-        else:  # space-separated number string
-            vals = [[float(z) for z in x[key].split(" ")] for x in exifs]
+        else:
+            # exiftool string mode emits space-separated numbers; JSON
+            # sidecars may carry real arrays — accept both.
+            vals = [np.asarray(x[key], np.float64) if
+                    isinstance(x[key], (list, tuple)) else
+                    [float(z) for z in str(x[key]).split()] for x in exifs]
         meta[key] = np.squeeze(np.array(vals))
     meta["ShutterSpeed"] = np.array(
         [_parse_shutter(x["ShutterSpeed"]) for x in exifs])

@@ -280,3 +280,26 @@ def test_llff_missing_image_raises(tmp_path):
     os.remove(os.path.join(root, "images", "im_002.png"))
     with pytest.raises(FileNotFoundError, match="im_002"):
         llff.load_scene(root, split="train")
+
+
+def test_train_split_shards_round_robin_by_rank(tmp_path):
+    """Multi-host LLFF loading shards TRAIN images per rank (reference
+    datasets.py:931-935): disjoint per-rank view sets whose union is the
+    full train split; the test split stays replicated."""
+    root = _write_capture(tmp_path, n=9)
+    full = llff.load_scene(root, split="train", llffhold=5)
+    r0 = llff.load_scene(root, split="train", llffhold=5,
+                         process_index=0, process_count=2)
+    r1 = llff.load_scene(root, split="train", llffhold=5,
+                         process_index=1, process_count=2)
+    n0, n1 = r0.data.num_views, r1.data.num_views
+    assert n0 + n1 == full.data.num_views
+    assert abs(n0 - n1) <= 1
+    # Disjoint pixels: rank images interleave the full set.
+    np.testing.assert_array_equal(r0.data.images[0], full.data.images[0])
+    np.testing.assert_array_equal(r1.data.images[0], full.data.images[1])
+    t0 = llff.load_scene(root, split="test", llffhold=5,
+                         process_index=0, process_count=2)
+    t1 = llff.load_scene(root, split="test", llffhold=5,
+                         process_index=1, process_count=2)
+    assert t0.data.num_views == t1.data.num_views

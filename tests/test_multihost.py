@@ -10,6 +10,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow  # spawns real multi-process jax.distributed
+
 _WORKER = r"""
 import os, sys
 import jax
@@ -19,6 +21,7 @@ jax.distributed.initialize(coordinator_address="localhost:%(port)d",
 import jax.numpy as jnp
 assert jax.process_count() == 2, jax.process_count()
 from jax.experimental import multihost_utils
+
 x = jnp.ones(()) * (jax.process_index() + 1.0)
 s = multihost_utils.process_allgather(x)
 print("ALLGATHER_SUM", float(s.sum()), flush=True)

@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from nerf_lidar_tpu.parallel import (batch_sharding, data_mesh,
                                      maybe_data_mesh, replicated_sharding)
@@ -109,3 +110,18 @@ def test_chunk_renderer_mesh_fused_kernel():
     for k in ("rgb", "depth", "semantic"):
         np.testing.assert_allclose(fused[k], plain[k], rtol=2e-4,
                                    atol=2e-5, err_msg=k)
+
+
+@pytest.mark.slow
+def test_compile_flagship_multichip_shapes():
+    """Flagship-shape sharded full-recipe step COMPILES on the 8-device
+    virtual mesh (per-device batch cut to keep the CPU compile tractable;
+    the shape-dependent sharding propagation is what's under test)."""
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", os.path.join(os.path.dirname(__file__), "..",
+                                    "__graft_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.compile_flagship_multichip(8, per_device_batch=512)

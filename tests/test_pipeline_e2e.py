@@ -14,6 +14,8 @@ from nerf_lidar_tpu import cli
 from nerf_lidar_tpu.data import synth_nusc
 from nerf_lidar_tpu.lidar import export as export_lib
 
+pytestmark = pytest.mark.slow  # full train->render->raydrop->export CLI drive
+
 
 @pytest.fixture(scope="module")
 def scene_root(tmp_path_factory):

