@@ -1,10 +1,54 @@
 #!/bin/bash
-# Round-4 chip queue: runs the moment the scale_speed 25k run exits.
-# ONE process per stage, chip kept exclusive throughout (verify-skill rule).
+# Round-4 chip queue: babysits the scale_speed 25k run (auto-resuming a
+# wedged process — observed signature: pid alive, ~0 steps for 10+ min),
+# then chains the post-training chip session, solo bench, and the parity
+# run. ONE chip process at a time throughout (verify-skill rule).
 cd /root/repo
-echo "watcher: waiting for train pid $(cat /tmp/run.pid)" >&2
-while kill -0 "$(cat /tmp/run.pid)" 2>/dev/null; do sleep 60; done
-echo "watcher: training exited at $(date)" >&2
+METRICS=exp/scale_speed/metrics.jsonl
+DONE_STEP=25000
+
+last_step() {
+  tail -1 "$METRICS" 2>/dev/null | sed -n 's/.*"step": \([0-9]*\).*/\1/p'
+}
+
+echo "watcher: babysitting train pid $(cat /tmp/run.pid)" >&2
+touch "$METRICS"  # reset the staleness clock for the warmup window
+while true; do
+  step=$(last_step)
+  if [ "${step:-0}" -ge "$DONE_STEP" ]; then break; fi
+  if ! kill -0 "$(cat /tmp/run.pid)" 2>/dev/null; then
+    step=$(last_step)
+    if [ "${step:-0}" -ge "$DONE_STEP" ]; then break; fi
+    echo "watcher: train died at step ${step:-?}; resuming at $(date)" >&2
+    nohup timeout 14400 python -m nerf_lidar_tpu.cli train \
+      --config_json exp/scale_speed/config.json \
+      >> exp/scale_speed/train2.log 2>&1 &
+    echo $! > /tmp/run.pid
+    touch "$METRICS"
+    sleep 300  # warmup grace
+    continue
+  fi
+  # Wedge detector: pid alive but metrics stale for 10+ min.
+  if [ -f "$METRICS" ]; then
+    age=$(( $(date +%s) - $(stat -c %Y "$METRICS") ))
+    if [ "$age" -gt 900 ]; then
+      echo "watcher: WEDGE (metrics ${age}s stale) — kill+resume $(date)" >&2
+      pid=$(cat /tmp/run.pid)
+      kill "$pid" 2>/dev/null
+      pkill -9 -P "$pid" 2>/dev/null  # the timeout/python children
+      sleep 5
+      nohup timeout 14400 python -m nerf_lidar_tpu.cli train \
+        --config_json exp/scale_speed/config.json \
+        >> exp/scale_speed/train2.log 2>&1 &
+      echo $! > /tmp/run.pid
+      touch "$METRICS"
+      sleep 300
+      continue
+    fi
+  fi
+  sleep 60
+done
+echo "watcher: training complete at step $(last_step), $(date)" >&2
 
 # Stage A: post-training artifact session (eval, lidar_eval, sweeps,
 # raydrop+KITTI, sweep_bench, dynamic check) batched into one process.
