@@ -44,7 +44,11 @@ while true; do
     relaunch; continue
   fi
   age=$(( $(date +%s) - $(stat -c %Y "$METRICS" 2>/dev/null || date +%s) ))
-  if [ "$age" -gt 900 ]; then
+  # Before the first metrics line the run is in its first compile, which
+  # for the big parity config exceeds 20 min — allow 40 min there.
+  thresh=900
+  if [ ! -s "$METRICS" ]; then thresh=2400; fi
+  if [ "$age" -gt "$thresh" ]; then
     echo "babysit: WEDGE (metrics ${age}s stale) at step ${step:-?}" >&2
     pid=$(cat "$PIDFILE")
     kill "$pid" 2>/dev/null; pkill -9 -P "$pid" 2>/dev/null
