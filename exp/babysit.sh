@@ -1,15 +1,18 @@
 #!/bin/bash
 # Babysit a training run on the tunneled TPU backend, which wedges every
-# ~45-75 min of continuous stepping (pid alive, 0 steps; observed 4x in
+# ~45-75 min of continuous stepping (pid alive, 0 steps; observed 5x in
 # round 4, all solo — not a concurrency artifact). Kill+resume from the
 # run's config snapshot recovers every time.
 #
-# Usage: babysit.sh <exp_dir> <done_step> <pidfile> [deadline_epoch]
+# Usage: babysit.sh <exp_dir> <done_step> <pidfile> [deadline_epoch] [grace_s]
 # Resumes with --config_json <exp_dir>/config.json when the pid dies or
-# metrics.jsonl goes >15 min stale. Exits when done_step is reached, the
-# deadline passes (killing the run), or resume itself keeps failing.
+# metrics.jsonl goes >15 min stale. Exits when done_step is reached or the
+# deadline passes (killing the run). grace_s (default 2400) suppresses the
+# wedge check for that long after every (re)launch — big configs pay
+# 15-25 min of compile+first-fetch warmup before their first metrics line,
+# which a shorter grace mistakes for a wedge (kill-loop).
 set -u
-EXP_DIR=$1; DONE_STEP=$2; PIDFILE=$3; DEADLINE=${4:-0}
+EXP_DIR=$1; DONE_STEP=$2; PIDFILE=$3; DEADLINE=${4:-0}; GRACE=${5:-2400}
 METRICS=$EXP_DIR/metrics.jsonl
 LOG=$EXP_DIR/babysit_train.log
 cd /root/repo
@@ -18,13 +21,16 @@ last_step() {
   tail -1 "$METRICS" 2>/dev/null | sed -n 's/.*"step": \([0-9]*\).*/\1/p'
 }
 
+LAUNCH_TS=$(date +%s)
+
 relaunch() {
   nohup timeout 21600 python -m nerf_lidar_tpu.cli train \
     --config_json "$EXP_DIR/config.json" >> "$LOG" 2>&1 &
   echo $! > "$PIDFILE"
   touch "$METRICS" 2>/dev/null || true
+  LAUNCH_TS=$(date +%s)
   echo "babysit: (re)launched pid $(cat $PIDFILE) at $(date)" >&2
-  sleep 300
+  sleep 60
 }
 
 touch "$METRICS" 2>/dev/null || true
@@ -43,12 +49,9 @@ while true; do
     echo "babysit: run died at step ${step:-?}" >&2
     relaunch; continue
   fi
+  since_launch=$(( $(date +%s) - LAUNCH_TS ))
   age=$(( $(date +%s) - $(stat -c %Y "$METRICS" 2>/dev/null || date +%s) ))
-  # Before the first metrics line the run is in its first compile, which
-  # for the big parity config exceeds 20 min — allow 40 min there.
-  thresh=900
-  if [ ! -s "$METRICS" ]; then thresh=2400; fi
-  if [ "$age" -gt "$thresh" ]; then
+  if [ "$since_launch" -gt "$GRACE" ] && [ "$age" -gt 900 ]; then
     echo "babysit: WEDGE (metrics ${age}s stale) at step ${step:-?}" >&2
     pid=$(cat "$PIDFILE")
     kill "$pid" 2>/dev/null; pkill -9 -P "$pid" 2>/dev/null
