@@ -30,6 +30,9 @@ def curve_table(runs, steps=(500, 1000, 2500, 5000, 10000, 15000, 20000, 25000))
             print(f"| {name} | (no metrics.jsonl) |")
             continue
         rows = load_metrics(path)
+        if not rows:
+            print(f"| {name} | (empty metrics.jsonl) |")
+            continue
         by_step = {r["step"]: r for r in rows}
         cells = []
         for s in steps:
