@@ -59,9 +59,10 @@ def s2():
 def s3():
     from nerf_lidar_tpu import cli
     sweep_dir = "exp/scale_speed/lidar_replay"
-    cli.main(["raydrop_features", "--pair",
-              f"exp/data/nusc_scale_dense:{sweep_dir}",
-              "--out", "exp/scale_speed/raydrop_feats_dense.npy"])
+    if not os.path.exists("exp/scale_speed/raydrop_feats_dense.npy"):
+        cli.main(["raydrop_features", "--pair",
+                  f"exp/data/nusc_scale_dense:{sweep_dir}",
+                  "--out", "exp/scale_speed/raydrop_feats_dense.npy"])
     cli.main(["raydrop_train", "--features",
               "exp/scale_speed/raydrop_feats_dense.npy",
               "--exp_name", "scale_speed/rd_dense", "--epochs", "60",
@@ -95,8 +96,8 @@ def s4():
 
 
 if __name__ == "__main__":
+    table = {"s1": s1, "s2": s2, "s3": s3, "s4": s4}
     stages = sys.argv[1:] or ["s1", "s2", "s3", "s4"]
-    for name, s in [("s1", s1), ("s2", s2), ("s3", s3), ("s4", s4)]:
-        if name in stages:
-            s()
+    for name in stages:  # argv order = execution order (tight chip windows)
+        table[name]()
     print("CHIP SESSION R4B DONE", flush=True)
