@@ -11,10 +11,12 @@ from __future__ import annotations
 import os
 import re
 import threading
+import time
 from typing import Any, Optional, Tuple
 
 import flax.serialization
 import jax
+import numpy as np
 
 
 def _natural_key(s: str):
@@ -63,6 +65,39 @@ def save_checkpoint(directory: str, state: Any, step: int, keep: int = 1,
     return path
 
 
+def gentle_device_get(tree: Any, chunk_bytes: int = 32 << 20,
+                      pause_s: float = 0.25) -> Any:
+    """Fetch a pytree to host in bounded slices with pauses between them.
+
+    A single monolithic `jax.device_get` of a ~GB train state monopolizes
+    the tunneled backend's transfer queue for minutes. In the round-4
+    parity-run attempt the only launch that reached its first checkpoint
+    wedged at exactly that step (exp/scale_parity/babysit_events.log),
+    so the background fetch is now broken into leading-dim row blocks of
+    at most `chunk_bytes`, pausing `pause_s` between blocks so the step
+    loop's own small transfers (batch uploads, metric fetches) can
+    interleave instead of queueing behind one giant DMA.
+    """
+    def fetch(x):
+        if not isinstance(x, jax.Array) or x.ndim == 0 \
+                or x.nbytes <= chunk_bytes:
+            return jax.device_get(x)
+        rows = max(1, chunk_bytes // max(1, x.nbytes // x.shape[0]))
+        parts = []
+        for i in range(0, x.shape[0], rows):
+            parts.append(jax.device_get(x[i:i + rows]))
+            time.sleep(pause_s)
+        return np.concatenate(parts, axis=0)
+
+    leaves, treedef = jax.tree.flatten(tree)
+    out = []
+    for leaf in leaves:
+        out.append(fetch(leaf))
+        if isinstance(leaf, jax.Array) and leaf.nbytes > (1 << 20):
+            time.sleep(pause_s)
+    return jax.tree.unflatten(treedef, out)
+
+
 class AsyncCheckpointer:
     """Non-blocking checkpoint writer.
 
@@ -92,7 +127,8 @@ class AsyncCheckpointer:
 
         def _write():
             try:
-                save_checkpoint(directory, snapshot, step, keep, prefix)
+                host_state = gentle_device_get(snapshot)
+                save_checkpoint(directory, host_state, step, keep, prefix)
             except BaseException as e:  # surfaced on the next wait()
                 self._error = e
 

@@ -278,6 +278,23 @@ def test_async_checkpointer_survives_donation(tmp_path):
         ck.wait()
 
 
+def test_gentle_device_get_roundtrips_chunked():
+    # The tunnel-gentle fetch must equal a monolithic device_get even when
+    # a leaf spans many row-block chunks (and for 0-d / non-array leaves).
+    tree = {
+        "big": jnp.arange(64 * 9, dtype=jnp.float32).reshape(64, 9),
+        "scalar": jnp.float32(3.5),
+        "step": 7,
+        "small": jnp.ones((3,), jnp.int32),
+    }
+    out = checkpoints.gentle_device_get(tree, chunk_bytes=256, pause_s=0.0)
+    ref = jax.device_get(tree)
+    assert out["step"] == 7
+    for k in ("big", "scalar", "small"):
+        np.testing.assert_array_equal(np.asarray(out[k]), np.asarray(ref[k]))
+        assert isinstance(out[k], np.ndarray)
+
+
 def test_normal_supervision_fires_and_changes_gradients():
     """normal_supervision=True must actually change the training signal
     (VERDICT r3: the knob silently no-oped — no loader/batcher path).
