@@ -1,0 +1,92 @@
+"""Round-4c endpoint chip session (ONE process, chip exclusive; run after
+the scale_fast25 babysitter exits):
+
+  1. scale_fast25 endpoint artifacts at its last checkpoint: eval table +
+     lidar_eval JSON. This is the quality-champion hash config (fast_variant
+     of the reference-exact parity recipe) at the reference schedule's
+     25k-step operating point — the at-scale quality proof VERDICT r3
+     weak #3 asked for, from the achievable side (the reference-exact
+     2^21-table config measures ~15-18 s/step on one tunneled v5e:
+     ~100+ chip-hours for 25k, see BASELINE.md parity attempt 2).
+  2. Dynamic replay sweeps + removal mode at the endpoint checkpoint
+     (check_dynamic_sweeps validates car-in-bbox tracking offline).
+  3. sweep_bench on the fast field (sweeps/s for the LiDAR product path).
+
+Usage: timeout 7200 python exp/chip_session_r4c.py > exp/chip_session_r4c.log 2>&1
+"""
+import os
+import sys
+import traceback
+
+os.chdir("/root/repo")
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/experiments")
+
+from nerf_lidar_tpu.utils import compile_cache  # noqa: E402
+
+compile_cache.enable()
+
+
+def fence(name):
+    def deco(fn):
+        def run():
+            print(f"==== {name} ====", flush=True)
+            try:
+                fn()
+                print(f"==== {name} OK ====", flush=True)
+            except Exception:
+                traceback.print_exc()
+                print(f"==== {name} FAILED ====", flush=True)
+        return run
+    return deco
+
+
+C = ["--config_json", "exp/scale_fast25/config.json"]
+
+
+@fence("fast25_eval")
+def s1():
+    from nerf_lidar_tpu import cli
+    cli.main(["eval", *C])
+
+
+@fence("fast25_lidar_eval")
+def s2():
+    from nerf_lidar_tpu import cli
+    cli.main(["lidar_eval", *C])
+
+
+@fence("fast25_render_lidar_replay")
+def s3():
+    from nerf_lidar_tpu import cli
+    cli.main(["render_lidar", *C, "--mode", "replay", "--num_sweeps", "6"])
+
+
+@fence("fast25_render_lidar_removal")
+def s4():
+    from nerf_lidar_tpu import cli
+    cli.main(["render_lidar", *C, "--mode", "replay", "--obj_mode",
+              "removal", "--num_sweeps", "2"])
+
+
+@fence("fast25_sweep_bench")
+def s5():
+    # sweep_bench builds its model from a preset name; nuscenes_multi_fast
+    # has the identical model subtree to scale_fast25's snapshot
+    # (fast_variant of the nuscenes_multi recipe).
+    sys.argv = ["sweep_bench.py", "nuscenes_multi_fast", "scale_fast25"]
+    import sweep_bench
+    sweep_bench.main()
+
+
+@fence("check_dynamic_sweeps")
+def s6():
+    import subprocess
+    subprocess.run([sys.executable, "exp/check_dynamic_sweeps.py",
+                    "exp/scale_fast25"], check=True)
+
+
+if __name__ == "__main__":
+    for stage in (s1, s2, s3, s4, s5, s6):
+        stage()
+    print("==== SESSION DONE ====", flush=True)

@@ -78,23 +78,40 @@ def gentle_device_get(tree: Any, chunk_bytes: int = 32 << 20,
     loop's own small transfers (batch uploads, metric fetches) can
     interleave instead of queueing behind one giant DMA.
     """
-    def fetch(x):
-        if not isinstance(x, jax.Array) or x.ndim == 0 \
-                or x.nbytes <= chunk_bytes:
-            return jax.device_get(x)
-        rows = max(1, chunk_bytes // max(1, x.nbytes // x.shape[0]))
-        parts = []
-        for i in range(0, x.shape[0], rows):
-            parts.append(jax.device_get(x[i:i + rows]))
-            time.sleep(pause_s)
-        return np.concatenate(parts, axis=0)
-
     leaves, treedef = jax.tree.flatten(tree)
-    out = []
-    for leaf in leaves:
-        out.append(fetch(leaf))
-        if isinstance(leaf, jax.Array) and leaf.nbytes > (1 << 20):
+    out = [None] * len(leaves)
+
+    # Small leaves are batched into one device_get per ~chunk_bytes: a
+    # train state has hundreds of MLP/optimizer leaves, and fetching them
+    # one-by-one pays the tunnel round-trip per leaf (~10 min for a
+    # ~300 MB state, measured on the first scale_fast25 checkpoint).
+    group, group_idx, group_sz = [], [], 0
+
+    def flush_group():
+        nonlocal group, group_idx, group_sz
+        if group:
+            for j, v in zip(group_idx, jax.device_get(group)):
+                out[j] = v
             time.sleep(pause_s)
+        group, group_idx, group_sz = [], [], 0
+
+    for i, leaf in enumerate(leaves):
+        if not isinstance(leaf, jax.Array):
+            out[i] = leaf
+        elif leaf.ndim > 0 and leaf.nbytes > chunk_bytes:
+            rows = max(1, chunk_bytes // max(1, leaf.nbytes // leaf.shape[0]))
+            parts = []
+            for s in range(0, leaf.shape[0], rows):
+                parts.append(jax.device_get(leaf[s:s + rows]))
+                time.sleep(pause_s)
+            out[i] = np.concatenate(parts, axis=0)
+        else:
+            group.append(leaf)
+            group_idx.append(i)
+            group_sz += leaf.nbytes
+            if group_sz >= chunk_bytes:
+                flush_group()
+    flush_group()
     return jax.tree.unflatten(treedef, out)
 
 

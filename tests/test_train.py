@@ -285,14 +285,18 @@ def test_gentle_device_get_roundtrips_chunked():
         "big": jnp.arange(64 * 9, dtype=jnp.float32).reshape(64, 9),
         "scalar": jnp.float32(3.5),
         "step": 7,
-        "small": jnp.ones((3,), jnp.int32),
+        # Enough small leaves to force several grouped-transfer flushes.
+        "small": {f"w{i}": jnp.full((5,), i, jnp.int32) for i in range(40)},
     }
     out = checkpoints.gentle_device_get(tree, chunk_bytes=256, pause_s=0.0)
     ref = jax.device_get(tree)
     assert out["step"] == 7
-    for k in ("big", "scalar", "small"):
+    for k in ("big", "scalar"):
         np.testing.assert_array_equal(np.asarray(out[k]), np.asarray(ref[k]))
         assert isinstance(out[k], np.ndarray)
+    for i in range(40):
+        np.testing.assert_array_equal(np.asarray(out["small"][f"w{i}"]),
+                                      np.asarray(ref["small"][f"w{i}"]))
 
 
 def test_normal_supervision_fires_and_changes_gradients():
