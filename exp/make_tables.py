@@ -55,6 +55,7 @@ def rate_summary(path, tail_frac=0.5):
 if __name__ == "__main__":
     runs = [
         ("speed flagship (scale_speed)", "exp/scale_speed/metrics.jsonl"),
+        ("quality hash fast (scale_fast25)", "exp/scale_fast25/metrics.jsonl"),
         ("parity reference-exact (scale_parity)",
          "exp/scale_parity/metrics.jsonl"),
     ]
@@ -68,18 +69,23 @@ if __name__ == "__main__":
                 print(f"- {name}: median sustained {med:,.0f} rays/s "
                       f"(full recipe, solo unless noted)")
     import glob
-    evals = sorted(glob.glob("exp/scale_speed/eval/metrics_*.json"))
-    files = ([("eval " + os.path.basename(p), p) for p in evals]
+    evals = (sorted(glob.glob("exp/scale_speed/eval/metrics_*.json"))
+             + sorted(glob.glob("exp/scale_fast25/eval/metrics_*.json")))
+    files = ([("eval " + p.split("exp/")[1], p) for p in evals]
              + [("lidar_eval", "exp/scale_speed/lidar_eval/metrics.json"),
+                ("lidar_eval fast25",
+                 "exp/scale_fast25/lidar_eval/metrics.json"),
                 ("lidar_eval parity", "exp/scale_parity/lidar_eval/metrics.json"),
-                ("bench", "exp/BENCH_local_r4.json")])
+                ("bench", "exp/BENCH_local_r4.json"),
+                ("bench r4c", "exp/BENCH_local_r4c.json")])
     for tag, p in files:
         if os.path.exists(p):
             print(f"\n### {tag}\n```json")
             sys.stdout.write(open(p).read().strip() + "\n```\n")
-    # sweep_bench prints its JSON line into the chip-session log.
-    log = "exp/chip_session_r4.log"
-    if os.path.exists(log):
-        for line in open(log):
-            if line.startswith("{") and "sweeps_per_sec" in line:
-                print("\n### sweep_bench\n```json\n" + line.strip() + "\n```")
+    # sweep_bench prints its JSON line into the chip-session logs.
+    for log in ("exp/chip_session_r4.log", "exp/chip_session_r4c.log"):
+        if os.path.exists(log):
+            for line in open(log):
+                if line.startswith("{") and "sweeps_per_sec" in line:
+                    print(f"\n### sweep_bench ({log})\n```json\n"
+                          + line.strip() + "\n```")
