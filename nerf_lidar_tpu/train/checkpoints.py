@@ -65,7 +65,7 @@ def save_checkpoint(directory: str, state: Any, step: int, keep: int = 1,
     return path
 
 
-def gentle_device_get(tree: Any, chunk_bytes: int = 32 << 20,
+def gentle_device_get(tree: Any, chunk_bytes: int = 8 << 20,
                       pause_s: float = 0.25) -> Any:
     """Fetch a pytree to host in bounded slices with pauses between them.
 
@@ -77,6 +77,12 @@ def gentle_device_get(tree: Any, chunk_bytes: int = 32 << 20,
     at most `chunk_bytes`, pausing `pause_s` between blocks so the step
     loop's own small transfers (batch uploads, metric fetches) can
     interleave instead of queueing behind one giant DMA.
+
+    chunk_bytes trades round-trips against queue occupancy: 8 MB is
+    ~0.3 s of tunnel per call. (The scale_fast25 process that banked 24
+    checkpoints over 6 h leaf-by-leaf never wedged; the first grouped
+    32 MB-slice process wedged minutes after its third bank — one event,
+    but the gentler slice costs nothing.)
     """
     leaves, treedef = jax.tree.flatten(tree)
     out = [None] * len(leaves)
