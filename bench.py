@@ -79,6 +79,20 @@ def bench_headline(cfg_mod, batch_size, n_steps):
     return batch_size * n_steps / dt
 
 
+def enable_refinement_grads(cfg):
+    """diff_inputs=True on every grid: the only trainable form of
+    pose/track refinement (see configs.Config.validate)."""
+    m = cfg.model
+
+    def flip(mlp):
+        return dataclasses.replace(
+            mlp, grid=dataclasses.replace(mlp.grid, diff_inputs=True))
+
+    return dataclasses.replace(cfg, model=dataclasses.replace(
+        m, nerf_mlp=flip(m.nerf_mlp), prop_mlp=flip(m.prop_mlp),
+        obj_mlp=flip(m.obj_mlp)))
+
+
 def bench_full_recipe(base_cfg, batch_size, n_steps):
     """The shipped config: objects + patches + LiDAR + road-aug +
     pose/track refinement (mirrors cli.cmd_train wiring)."""
@@ -96,13 +110,19 @@ def bench_full_recipe(base_cfg, batch_size, n_steps):
         learn_R=True, learn_t=True,
         model=dataclasses.replace(base_cfg.model, instance_obj=True,
                                   num_objects=2))
+    # Pose/track refinement needs position gradients through the encodes
+    # (Config.validate rejects diff_inputs=False + refinement): flip every
+    # grid to the autodiff path, exactly as a real refinement run must.
+    cfg = enable_refinement_grads(cfg)
+    cfg.validate()
     _, data, _ = synthetic.make_scene_data(num_views=4, height=64, width=96,
                                            focal=64.0, far=cfg.far,
                                            with_lidar=True)
     batcher = RayBatcher(data, cfg.batch_size, cfg.patch_size,
                          lidar_supervision=True,
                          lidar_batch_ratio=cfg.lidar_batch_ratio,
-                         aug_road=True, aug_delta=cfg.aug_delta, seed=0)
+                         aug_road=True, aug_delta=cfg.aug_delta, seed=0,
+                         mask_moving=not cfg.model.instance_obj)
     T = 3
     tracks = np.zeros((2, T, 9), np.float32)
     tracks[:, :, 1] = 2.0

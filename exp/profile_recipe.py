@@ -8,6 +8,18 @@ decomposes into per-component costs instead of guesses.
 Writes exp/profile_recipe/results.json: one entry per variant with
 rays/s (batcher.total_rays-normalized, same as bench.py) and s/step.
 
+Reading the numbers (ADVICE r4): components that ADD rays (lidar +1024,
+roadaug +1024) keep rays/s ~flat while s_per_step rises — their
+wall-clock cost must be read from s_per_step, not rays/s. Every variant
+config passes Config.validate(): the pose/track rungs flip the grids to
+diff_inputs=True (the only trainable form of refinement), so those rungs
+pay the REAL dense-band position-gradient replay the round-4 version of
+this script skipped.
+
+Round-5 rungs: 'objects' uses the default compacted obj eval
+(ModelConfig.obj_sample_frac); 'objects_dense' is the round-4 dense
+evaluation (obj_sample_frac=0) kept as the regression reference.
+
 Run solo on the chip (chip-exclusive rule, verify skill).
 """
 
@@ -33,6 +45,7 @@ def build_and_time(name, cfg, with_lidar, with_objects, with_posenet,
     from nerf_lidar_tpu.models.model import Model
     from nerf_lidar_tpu.train import train_step
 
+    cfg.validate()
     _, data, _ = synthetic.make_scene_data(num_views=4, height=64, width=96,
                                            focal=64.0, far=cfg.far,
                                            with_lidar=with_lidar)
@@ -40,7 +53,8 @@ def build_and_time(name, cfg, with_lidar, with_objects, with_posenet,
                          lidar_supervision=cfg.lidar_supervision,
                          lidar_batch_ratio=cfg.lidar_batch_ratio,
                          aug_road=cfg.aug_road, aug_delta=cfg.aug_delta,
-                         seed=0)
+                         seed=0,
+                         mask_moving=not cfg.model.instance_obj)
     tracks_j = track_mask = None
     if with_objects:
         T = 3
@@ -114,12 +128,21 @@ def main():
     A = stripped(base)
     variants = []
 
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from bench import enable_refinement_grads
+
     # A: stripped headline (bench.py's `value` config)
     variants.append(("stripped", A, False, False, False))
-    # B: + dynamic objects only
+    # B: + dynamic objects only (compacted obj eval, the default)
     B = dataclasses.replace(A, model=dataclasses.replace(
         A.model, instance_obj=True, num_objects=2))
     variants.append(("objects", B, False, True, False))
+    # B': + dynamic objects, round-4 dense evaluation (regression ref)
+    Bd = dataclasses.replace(A, model=dataclasses.replace(
+        A.model, instance_obj=True, num_objects=2, obj_sample_frac=0.0))
+    variants.append(("objects_dense", Bd, False, True, False))
     # C: + 32x32 patches only
     C = dataclasses.replace(A, patch_size=32)
     variants.append(("patches", C, False, False, False))
@@ -129,16 +152,17 @@ def main():
     # E: + road augmentation only
     E = dataclasses.replace(A, aug_road=True, aug_delta=0.1)
     variants.append(("roadaug", E, False, False, False))
-    # F: + pose refinement only
-    F = dataclasses.replace(A, pose_refine=True, learn_R=True, learn_t=True)
+    # F: + pose refinement only (diff_inputs=True — the trainable form)
+    F = enable_refinement_grads(dataclasses.replace(
+        A, pose_refine=True, learn_R=True, learn_t=True))
     variants.append(("poserefine", F, False, False, True))
     # G: full recipe (bench.py's full_recipe config)
-    G = dataclasses.replace(
+    G = enable_refinement_grads(dataclasses.replace(
         A, patch_size=32, lidar_supervision=True, lidar_batch_ratio=4,
         aug_road=True, aug_delta=0.1, pose_refine=True, track_refine=True,
         learn_R=True, learn_t=True,
         model=dataclasses.replace(A.model, instance_obj=True,
-                                  num_objects=2))
+                                  num_objects=2)))
     variants.append(("full", G, True, True, True))
 
     os.makedirs(OUT, exist_ok=True)

@@ -159,6 +159,14 @@ class ModelConfig:
     # each obj MLP with class_type = query_class(...) (models.py:105-121).
     # The CLI fills this from the scene's track_classes.
     obj_sem_ids: Tuple[int, ...] = ()
+    # Static obj-MLP sample budget as a fraction of R*S per level: box
+    # intersections are sparse, so the obj encode/MLP runs only on the
+    # first K = frac*R*S compacted intersecting samples (overflow keeps
+    # the field prediction; objects.py _composite_objects_compact).
+    # Measured round 5: the dense eval made objects 3.6x the stripped
+    # step because every sample paid the obj hash encode. <= 0 disables
+    # (dense reference-shaped evaluation).
+    obj_sample_frac: float = 0.125
     # MLP blocks (gin alias analog).
     nerf_mlp: MLPConfig = MLPConfig(
         use_semantic=True, no_sem_layer=False, disable_density_normals=True)

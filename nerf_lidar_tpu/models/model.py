@@ -203,6 +203,11 @@ class Model(nn.Module):
                         (self.obj_mlps[k], tuple(slots))
                         for k, slots in sorted(
                             _class_slots(c.obj_class_ids).items())]
+                budget = None
+                if c.obj_sample_frac > 0:
+                    rs = int(np.prod(pts_w.shape[:-1]))
+                    budget = min(rs, int(-(-rs * c.obj_sample_frac // 128))
+                                 * 128)
                 ray_results = objlib.composite_objects(
                     None if class_groups else self.obj_mlp,
                     self.obj_latents if c.latent_size > 0 else None,
@@ -213,7 +218,8 @@ class Model(nn.Module):
                     obj_sem_ids=(c.obj_sem_ids
                                  if (c.obj_sem_ids
                                      and c.obj_mlp.fixed_semantic)
-                                 else None))
+                                 else None),
+                    sample_budget=budget)
 
             # RawNeRF exposure logic (reference models.py:500-512): scale
             # colors by the capture exposure, plus a learned per-capture

@@ -330,13 +330,37 @@ def _eval_obj_mlp_grouped(class_groups, obj_latents, pts_o, dirs_o):
     return merged
 
 
+def _compact_flags(flag_flat: jax.Array, budget: int):
+    """Static-shape stream compaction of a boolean mask.
+
+    flag_flat: [N] bool. Returns (sample_ids [K] int32 — the original
+    indices of the first K set flags, valid [K] bool, pos [N] int32 — each
+    element's rank among set flags). The TPU analog of the reference's
+    data-dependent boolean indexing (obj_utils.py:313-356): a cumsum ranks
+    the set flags, one deterministic scatter writes their indices into a
+    fixed [K]-slot buffer (slot K is a dump for unset/overflow entries),
+    and downstream work runs at [K] instead of [N]. Overflow beyond the
+    budget is dropped (callers keep the base field prediction there).
+    """
+    n = flag_flat.shape[0]
+    pos = jnp.cumsum(flag_flat.astype(jnp.int32)) - 1  # [N]
+    target = jnp.where(flag_flat & (pos < budget), pos, budget)
+    buf = jnp.zeros(budget + 1, jnp.int32).at[target].set(
+        jnp.arange(n, dtype=jnp.int32))
+    n_set = pos[-1] + 1
+    valid = jnp.arange(budget) < jnp.minimum(n_set, budget)
+    return buf[:budget], valid, pos
+
+
 def composite_objects(obj_mlp, obj_latents: Optional[jax.Array],
                       pts_w: jax.Array, viewdirs: jax.Array,
                       obj_pose: jax.Array, track_mask: Optional[jax.Array],
                       ray_results: Dict[str, jax.Array],
                       is_prop: bool, sym: bool = False,
                       class_groups=None,
-                      obj_sem_ids=None) -> Dict[str, jax.Array]:
+                      obj_sem_ids=None,
+                      sample_budget: Optional[int] = None
+                      ) -> Dict[str, jax.Array]:
     """Overwrite field predictions inside object boxes with ObjMLP output.
 
     pts_w: [R, S, 3]; obj_pose: [R, N_obj, F]; obj_latents: [N_obj, Z] or
@@ -349,6 +373,19 @@ def composite_objects(obj_mlp, obj_latents: Optional[jax.Array],
     samples (reference models.py:225-237 `symmetry_constraint`; the unit
     box is mirror-symmetric, so the mirror of an intersecting point
     intersects too). Gradients flow only through the mirrored branch.
+
+    sample_budget: static cap K on obj-MLP sample count. The box
+    intersection set is SPARSE (vehicles cover a few % of a scene's
+    samples), but static shapes force the dense paths below to encode all
+    R*S samples through the obj hash grid — in a gather-free spectral
+    field that encode is the step's ONLY gather/scatter op and measured
+    3.6x the whole stripped step (exp/profile_recipe round 4). With a
+    budget, intersecting samples are stream-compacted (_compact_flags) and
+    only [K] points pay the encode/MLP; results scatter back through one
+    small gather. Semantics match the dense winner-only path exactly
+    unless >K samples intersect (overflow keeps the field prediction; the
+    sym loss constrains winner pairs only, like the winner-only path).
+    None = dense reference-shaped evaluation.
     """
     pts_o, dirs_o, inter = box_pts(pts_w, viewdirs, obj_pose)  # [R,S,N,*]
     if track_mask is not None:
@@ -365,6 +402,12 @@ def composite_objects(obj_mlp, obj_latents: Optional[jax.Array],
     winner = jnp.argmax(jnp.where(inter, o_ids[None, None], -1), axis=-1)
     winner_slot = winner  # original slot ids (winner is re-indexed below)
     any_inter = inter.any(-1)  # [R, S]
+
+    if sample_budget is not None:
+        return _composite_objects_compact(
+            obj_mlp, obj_latents, pts_w, viewdirs, obj_pose,
+            ray_results, is_prop, sym, class_groups, obj_sem_ids,
+            int(sample_budget), inter, winner_slot, any_inter)
 
     winner_only = class_groups is None
     if winner_only:
@@ -432,6 +475,126 @@ def composite_objects(obj_mlp, obj_latents: Optional[jax.Array],
         valid = (any_inter & (sid != 255)
                  & (sid < results["semantic"].shape[-1]))
         onehot = jax.nn.one_hot(sid, results["semantic"].shape[-1],
+                                dtype=results["semantic"].dtype)
+        results["semantic"] = jnp.where(valid[..., None], onehot,
+                                        results["semantic"])
+
+    results["obj_mask"] = inter
+    return results
+
+
+def _composite_objects_compact(obj_mlp, obj_latents, pts_w, viewdirs,
+                               obj_pose, ray_results, is_prop, sym,
+                               class_groups, obj_sem_ids, budget,
+                               inter, winner_slot, any_inter):
+    """Budgeted compositing: obj MLP work at [K] compacted samples.
+
+    See composite_objects(sample_budget=...). The intersection test stays
+    dense ([R, S, N] elementwise VPU math, stop-gradient, fully fusable);
+    everything expensive — the obj hash encode, the MLP, the mirrored sym
+    eval — runs at the static budget K. The box-frame transform is
+    RECOMPUTED at the K winner points (cheaper than gathering from the
+    [R, S, N, 3] tensor, and it keeps the track-refinement gradient path:
+    d(obj_pose) flows through the K-point transform + one gather).
+    """
+    R, S = any_inter.shape
+    rs = R * S
+    budget = max(8, min(int(budget), rs))
+
+    sid, valid_k, pos = _compact_flags(any_inter.reshape(rs), budget)
+    r_idx = sid // S
+    w_slot = winner_slot.reshape(rs)[sid]  # [K] winning object slot
+    pose_k = obj_pose[r_idx, w_slot]  # [K, F]
+    pts_k = pts_w.reshape(rs, 3)[sid]
+    dirs_k = viewdirs[r_idx]
+    pts_ok, dirs_ok = world2object(pts_k, dirs_k, pose_k[:, :3],
+                                   pose_k[:, 3], pose_k[:, 4:7])
+    # [1, K, 1, 3]: batch=1, K sample slots, n=1 multisample.
+    pts_e = pts_ok[None, :, None]
+    dirs_e = dirs_ok[None, :, None]
+
+    if class_groups is None:
+        lat_k = (obj_latents[w_slot][None] if obj_latents is not None
+                 else None)  # [1, K, Z] per-sample latent
+
+        def eval_all(p, d):
+            return _eval_obj_mlp(obj_mlp, lat_k, p, d)
+    else:
+        # Per-class dispatch over the SAME K points: each class MLP runs
+        # on all K (K is small), a static slot->group map selects the
+        # winner's module output per point.
+        slot_to_group = np.full(
+            max(max(s) for _, s in class_groups) + 1, -1, np.int32)
+        for g, (_, slots) in enumerate(class_groups):
+            for s_ in slots:
+                slot_to_group[s_] = g
+        grp_k = jnp.asarray(slot_to_group)[w_slot]  # [K]
+
+        def eval_all(p, d):
+            merged = None
+            for g, (mlp, _) in enumerate(class_groups):
+                lat_k = (obj_latents[w_slot][None]
+                         if obj_latents is not None else None)
+                out = _eval_obj_mlp(mlp, lat_k, p, d)
+                if merged is None:
+                    merged = out
+                    if len(class_groups) == 1:
+                        return merged
+                    merged = {
+                        k: (jnp.where(
+                            (grp_k == g).reshape((1, -1) + (1,) * (v.ndim - 2)),
+                            v, 0.0) if v is not None else None)
+                        for k, v in out.items()}
+                else:
+                    merged = {
+                        k: (jnp.where(
+                            (grp_k == g).reshape((1, -1) + (1,) * (v.ndim - 2)),
+                            v, merged[k]) if v is not None else merged[k])
+                        for k, v in out.items()}
+            return merged
+
+    outs = eval_all(pts_e, dirs_e)
+    if is_prop:
+        outs = {k: (jax.lax.stop_gradient(v) if v is not None else None)
+                for k, v in outs.items()}
+
+    results = dict(ray_results)
+    if sym:
+        mirror = jnp.asarray([1.0, -1.0, 1.0])
+        outs_sym = eval_all(
+            jax.lax.stop_gradient(pts_e) * mirror,
+            jax.lax.stop_gradient(dirs_e) * mirror)
+        m = valid_k[None, :, None].astype(jnp.float32)  # [1, K, 1]
+        denom = jnp.maximum(m.sum(), 1.0)
+        loss_sym = 0.0
+        for k in ("density", "rgb"):
+            raw = jax.lax.stop_gradient(outs[k])
+            diff = jnp.abs(raw - outs_sym[k])
+            if diff.ndim == m.ndim + 1:
+                diff = diff.mean(-1)
+            loss_sym = loss_sym + (diff * m).sum() / denom
+        results["loss_sym"] = loss_sym
+
+    # Composite back: sample (r, s)'s eval lives at compacted row pos[r, s].
+    pos2 = pos.reshape(R, S)
+    take = jnp.clip(pos2, 0, budget - 1)
+    ok = any_inter & (pos2 < budget)  # overflow keeps the field prediction
+    for key in ("density", "rgb", "semantic", "intensity"):
+        base = results.get(key)
+        ov = outs.get(key)
+        if base is None or ov is None:
+            continue
+        val_k = ov[0, :, 0]  # [1, K, 1, ...] -> [K, ...]
+        picked = val_k[take]  # [R, S, ...]
+        m = ok if base.ndim == 2 else ok[..., None]
+        results[key] = jnp.where(m, picked, base)
+
+    if obj_sem_ids is not None and results.get("semantic") is not None:
+        sem_ids = jnp.asarray(obj_sem_ids)
+        sid_sem = sem_ids[winner_slot]  # [R, S]
+        valid = (ok & (sid_sem != 255)
+                 & (sid_sem < results["semantic"].shape[-1]))
+        onehot = jax.nn.one_hot(sid_sem, results["semantic"].shape[-1],
                                 dtype=results["semantic"].dtype)
         results["semantic"] = jnp.where(valid[..., None], onehot,
                                         results["semantic"])

@@ -72,12 +72,17 @@ class ChunkRenderer:
         n_pad = (n + step - 1) // step * step
         rays_p = {k: _pad_to(np.asarray(v), n_pad) for k, v in rays.items()}
 
-        outs = []
+        # Dispatch EVERY chunk before fetching any: jax dispatch is async,
+        # so chunk i+1's compute overlaps chunk i's host transfer. On the
+        # tunneled single-chip backend the fetch is ~25 MB/s — serializing
+        # it after each chunk (the round-4 code) added 0.2-0.4 s/sweep of
+        # pure transfer wait (exp/sweep_decomp round-5 measurement).
+        outs_dev = []
         for i in range(0, n_pad, step):
             chunk = {k: jnp.asarray(v[i:i + step])
                      for k, v in rays_p.items()}
-            outs.append(jax.device_get(
-                self._apply(params, chunk, tracks, track_mask)))
+            outs_dev.append(self._apply(params, chunk, tracks, track_mask))
+        outs = jax.device_get(outs_dev)
         merged = {k: np.concatenate([o[k] for o in outs], axis=0)[:n]
                   for k in outs[0]}
         return merged

@@ -88,9 +88,16 @@ def ssim(img0, img1, max_val: float = 1.0, filter_size: int = 11,
 
 def color_correct(img, ref, num_iters: int = 5, eps: float = 0.5 / 255):
     """Warp `img`'s colors onto `ref` with a per-channel quadratic fit
-    (reference image.py:67-107), solved per channel with lstsq."""
-    img = jnp.asarray(img)
-    ref = jnp.asarray(ref)
+    (reference image.py:67-107), solved per channel with lstsq.
+
+    The solve runs HOST-SIDE in numpy float64: a ~HW x 10 normal system is
+    ill-conditioned in f32 (the round-4 jnp f32 version produced
+    psnr_cc 12 dB BELOW raw psnr on the 25k endpoints — a degenerate solve
+    clipped the whole warp). float64 + an explicit finite assertion matches
+    the reference's numerics exactly; this is a metric, not a hot path.
+    """
+    img = np.asarray(jax.device_get(img), np.float64)
+    ref = np.asarray(jax.device_get(ref), np.float64)
     if img.shape[-1] != ref.shape[-1]:
         raise ValueError(
             f"img's {img.shape[-1]} and ref's {ref.shape[-1]} channels differ")
@@ -108,20 +115,20 @@ def color_correct(img, ref, num_iters: int = 5, eps: float = 0.5 / 255):
         for c in range(num_channels):
             a_mat.append(img_mat[:, c:c + 1] * img_mat[:, c:])
         a_mat.append(img_mat)
-        a_mat.append(jnp.ones_like(img_mat[:, :1]))
-        a_mat = jnp.concatenate(a_mat, axis=-1)
+        a_mat.append(np.ones_like(img_mat[:, :1]))
+        a_mat = np.concatenate(a_mat, axis=-1)
         warp = []
         for c in range(num_channels):
             b = ref_mat[:, c]
-            mask = (mask0[:, c] & is_unclipped(img_mat[:, c])
-                    & is_unclipped(b)).astype(img.dtype)
-            ma_mat = mask[:, None] * a_mat
-            mb = mask * b
-            w = jnp.linalg.lstsq(ma_mat, mb, rcond=-1)[0]
+            mask = mask0[:, c] & is_unclipped(img_mat[:, c]) & is_unclipped(b)
+            ma_mat = np.where(mask[:, None], a_mat, 0)
+            mb = np.where(mask, b, 0)
+            w = np.linalg.lstsq(ma_mat, mb, rcond=-1)[0]
+            assert np.all(np.isfinite(w)), "color_correct: non-finite warp"
             warp.append(w)
-        warp = jnp.stack(warp, axis=-1)
-        img_mat = jnp.clip(a_mat @ warp, 0, 1)
-    return img_mat.reshape(img.shape)
+        warp = np.stack(warp, axis=-1)
+        img_mat = np.clip(a_mat @ warp, 0, 1)
+    return img_mat.reshape(img.shape).astype(np.float32)
 
 
 class MetricHarness:

@@ -77,6 +77,30 @@ def test_color_correct_fixes_affine_shift():
     assert np.abs(fixed - ref).mean() < np.abs(img - ref).mean() * 0.2
 
 
+def test_color_correct_never_hurts_psnr():
+    """Regression for the round-4 psnr_cc inversion: a fitted quadratic
+    warp can essentially never make PSNR worse. The f32 jnp.lstsq version
+    produced psnr_cc 12 dB BELOW raw psnr on a ~360k x 10 system; the
+    host-side float64 solve must satisfy psnr_cc >= psnr - 0.1 on a
+    realistic-size GLO-style color-shifted pair."""
+    rng = np.random.RandomState(2)
+    # Smooth-ish "rendering" at eval-like resolution (ill-conditioned
+    # normal system territory for f32).
+    base = rng.rand(12, 16, 3)
+    ref = np.clip(np.kron(base, np.ones((25, 25, 1))) * 0.7 + 0.15
+                  + 0.02 * rng.randn(300, 400, 3), 0, 1).astype(np.float32)
+    # GLO-style global color shift + mild channel mixing.
+    gain = np.array([1.12, 0.95, 0.88], np.float32)
+    img = np.clip(ref * gain + np.float32([0.04, -0.03, 0.05]), 0, 1)
+    raw_psnr = float(imlib.psnr(img, ref))
+    cc = imlib.color_correct(img, ref)
+    assert np.all(np.isfinite(cc))
+    cc_psnr = float(imlib.psnr(cc, ref))
+    assert cc_psnr >= raw_psnr - 0.1, (cc_psnr, raw_psnr)
+    # And on this correctable shift it should actually help a lot.
+    assert cc_psnr > raw_psnr + 3.0, (cc_psnr, raw_psnr)
+
+
 def test_undistort_points_inverts_distortion():
     """Newton undistort must invert the OpenCV radial+tangential forward
     model to high precision for realistic coefficients."""

@@ -151,6 +151,7 @@ def test_learned_exposure_scaling():
                                np.asarray(r0b[-1]["rgb"]), atol=1e-7)
 
 
+@pytest.mark.slow
 def test_mxu_config_model_trains():
     """The matmul-resident field preset (nuscenes_single_mxu) must run a
     jitted train step end-to-end: spectral encode, all losses, grads."""

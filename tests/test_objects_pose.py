@@ -3,6 +3,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from nerf_lidar_tpu import configs
 from nerf_lidar_tpu.models import objects as objlib
@@ -151,6 +152,7 @@ def _batch_through_origin(R=8):
         timestamp=np.linspace(0, 3, R).astype(np.float32)).items()}
 
 
+@pytest.mark.slow
 def test_model_with_objects_forward_and_latent_grads():
     cfg, model, tracks, track_mask = _obj_model_setup()
     batch = _batch_through_origin()
@@ -220,6 +222,112 @@ def test_composite_winner_matches_where_chain():
             mm = m if merged.ndim == 2 else m[..., None]
             merged = np.where(mm, ov[:, :, o], merged)
         np.testing.assert_allclose(np.asarray(got[key]), merged,
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_compact_budget_matches_dense_winner_only():
+    """sample_budget >= R*S makes the compacted path EXACTLY the dense
+    winner-only path (same winner points, same MLP eval, same where); a
+    small budget drops overflow samples back to the base prediction."""
+    cfg, model, tracks, track_mask = _obj_model_setup()
+    batch = _batch_through_origin()
+    params = model.init(jax.random.PRNGKey(0), None, batch, tracks=tracks,
+                        track_mask=track_mask)
+    R, S = 6, 24
+    rng = np.random.RandomState(2)
+    pts_w = jnp.asarray(rng.randn(R, S, 3).astype(np.float32) * 1.0)
+    viewdirs = jnp.asarray(rng.randn(R, 3).astype(np.float32))
+    obj_pose = jnp.asarray(np.tile(
+        np.array([[0, 0, 0, 0.3, 2.5, 2.5, 2.5, 0, 0],
+                  [0.3, 0, 0, 0.0, 2.5, 2.5, 2.5, 0, 1]], np.float32),
+        (R, 1, 1)))
+    base = dict(
+        density=jnp.asarray(rng.rand(R, S).astype(np.float32)),
+        rgb=jnp.asarray(rng.rand(R, S, 3).astype(np.float32)),
+        semantic=jnp.asarray(rng.rand(R, S, 5).astype(np.float32)),
+        intensity=None)
+
+    def obj_fn(p, s, viewdirs=None, latent=None):
+        return model.apply(params, p, s, viewdirs, latent,
+                           method=lambda m, a, b, c, d: m.obj_mlp(
+                               a, b, viewdirs=c, latent=d))
+
+    lat = params["params"]["obj_latents"]
+    kw = dict(is_prop=False, sym=True, obj_sem_ids=(3, 255))
+    dense = objlib.composite_objects(
+        obj_fn, lat, pts_w, viewdirs, obj_pose, jnp.asarray(track_mask),
+        base, **kw)
+    compact = objlib.composite_objects(
+        obj_fn, lat, pts_w, viewdirs, obj_pose, jnp.asarray(track_mask),
+        base, sample_budget=R * S, **kw)
+    for key in ("density", "rgb", "semantic"):
+        np.testing.assert_allclose(np.asarray(compact[key]),
+                                   np.asarray(dense[key]),
+                                   rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(compact["loss_sym"]),
+                               float(dense["loss_sym"]), rtol=1e-5)
+
+    # Tiny budget: the first 8 intersecting samples (row-major order) match
+    # the dense output; overflow samples keep the base field prediction.
+    small = objlib.composite_objects(
+        obj_fn, lat, pts_w, viewdirs, obj_pose, jnp.asarray(track_mask),
+        base, sample_budget=8, is_prop=False)
+    flag = np.asarray(dense["obj_mask"]).any(-1).reshape(-1)
+    pos = np.cumsum(flag) - 1
+    assert flag.sum() > 8, "test needs overflow"
+    for key in ("density", "rgb"):
+        got = np.asarray(small[key]).reshape((R * S,) + np.asarray(
+            small[key]).shape[2:])
+        want_d = np.asarray(dense[key]).reshape(got.shape)
+        want_b = np.asarray(base[key]).reshape(got.shape)
+        kept = flag & (pos < 8)
+        dropped = flag & (pos >= 8)
+        np.testing.assert_allclose(got[kept], want_d[kept],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(got[dropped], want_b[dropped])
+
+
+def test_compact_budget_matches_dense_per_class():
+    """Per-class dispatch through the compacted path must agree with the
+    dense grouped path wherever the winner's output is composited."""
+    cfg, model, tracks, track_mask = _obj_model_setup()
+    mcfg = dataclasses.replace(model.cfg, obj_class_ids=(1, 2))
+    model_pc = Model(mcfg)
+    batch = _batch_through_origin()
+    params = model_pc.init(jax.random.PRNGKey(0), None, batch,
+                           tracks=tracks, track_mask=track_mask)
+    R, S = 6, 5
+    rng = np.random.RandomState(3)
+    pts_w = jnp.asarray(rng.randn(R, S, 3).astype(np.float32) * 1.5)
+    viewdirs = jnp.asarray(rng.randn(R, 3).astype(np.float32))
+    obj_pose = jnp.asarray(np.tile(
+        np.array([[0, 0, 0, 0.3, 2.0, 2.0, 2.0, 0, 0],
+                  [0.3, 0, 0, 0.0, 2.0, 2.0, 2.0, 0, 1]], np.float32),
+        (R, 1, 1)))
+    base = dict(
+        density=jnp.asarray(rng.rand(R, S).astype(np.float32)),
+        rgb=jnp.asarray(rng.rand(R, S, 3).astype(np.float32)),
+        semantic=None, intensity=None)
+
+    def mk_obj_fn(name):
+        def obj_fn(p, s, viewdirs=None, latent=None):
+            return model_pc.apply(
+                params, p, s, viewdirs, latent,
+                method=lambda m, a, b, c, d: m.obj_mlps[
+                    int(name)](a, b, viewdirs=c, latent=d))
+        return obj_fn
+
+    groups = [(mk_obj_fn(1), (0,)), (mk_obj_fn(2), (1,))]
+    lat = params["params"]["obj_latents"]
+    dense = objlib.composite_objects(
+        None, lat, pts_w, viewdirs, obj_pose, jnp.asarray(track_mask),
+        base, is_prop=False, class_groups=groups)
+    compact = objlib.composite_objects(
+        None, lat, pts_w, viewdirs, obj_pose, jnp.asarray(track_mask),
+        base, is_prop=False, class_groups=groups, sample_budget=R * S)
+    for key in ("density", "rgb"):
+        np.testing.assert_allclose(np.asarray(compact[key]),
+                                   np.asarray(dense[key]),
                                    rtol=1e-5, atol=1e-6)
 
 

@@ -197,6 +197,7 @@ def test_restore_model_params_from_refined_checkpoint(tmp_path):
     # Missing checkpoint -> (None, 0).
     assert checkpoints.restore_model_params(str(tmp_path / "nope"))[0] is None
 
+@pytest.mark.slow
 def test_hash_decay_loss_with_per_class_obj_mlps():
     # Regression: with obj_class_ids set, param subtrees are named
     # obj_mlp_cls{k}; hash_decay_loss must iterate them (it used to
@@ -299,6 +300,7 @@ def test_gentle_device_get_roundtrips_chunked():
                                       np.asarray(ref["small"][f"w{i}"]))
 
 
+@pytest.mark.slow
 def test_normal_supervision_fires_and_changes_gradients():
     """normal_supervision=True must actually change the training signal
     (VERDICT r3: the knob silently no-oped — no loader/batcher path).
