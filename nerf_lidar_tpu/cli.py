@@ -976,7 +976,8 @@ def cmd_extract(args):
     verts, faces, _ = extract_mesh(
         model, params, resolution=args.resolution,
         isosurface_threshold=args.threshold, out_path=path,
-        vertex_color=not args.no_color)
+        vertex_color=not args.no_color, clean=args.clean,
+        decimate_target=args.decimate)
     print(f"mesh: {len(verts)} verts, {len(faces)} faces -> {path}")
 
 
@@ -1233,6 +1234,13 @@ def main(argv: Optional[List[str]] = None):
     sp.add_argument("--resolution", type=int, default=256)
     sp.add_argument("--threshold", type=float, default=20.0)
     sp.add_argument("--no_color", action="store_true")
+    sp.add_argument("--clean", action="store_true",
+                    help="post-process: merge close verts, drop "
+                         "duplicate/null faces + small components "
+                         "(reference extract.py clean_mesh ladder)")
+    sp.add_argument("--decimate", type=int, default=0,
+                    help="decimate to <= N faces by vertex clustering "
+                         "(reference extract.py decimate_mesh)")
     sp.set_defaults(fn=cmd_extract)
 
     sp = sub.add_parser("validate_scene")

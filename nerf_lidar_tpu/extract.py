@@ -225,7 +225,9 @@ def extract_mesh(model, params, resolution: int = 128,
                  vertex_color: bool = True,
                  color_mode: str = "projection",
                  visibility_grid: Optional[np.ndarray] = None,
-                 out_path: Optional[str] = None):
+                 out_path: Optional[str] = None,
+                 clean: bool = False,
+                 decimate_target: int = 0):
     """Full pipeline: density lattice -> visibility culling -> marching
     tetrahedra in contracted space -> inv_contract vertices -> vertex
     colors (projection or fixed-view) -> PLY.
@@ -254,6 +256,14 @@ def extract_mesh(model, params, resolution: int = 128,
     faces = faces[keep[faces].all(axis=1)]
     faces = remap[faces]
     verts_w = verts_w[keep]
+    if clean and len(faces):
+        # Reference extract.py clean_mesh ladder (pymeshlab there; numpy
+        # here — utils/marching.clean_mesh).
+        verts_w, faces = marching.clean_mesh(verts_w, faces)
+    if decimate_target > 0 and len(faces) > decimate_target:
+        verts_w, faces = marching.decimate_mesh(verts_w, faces,
+                                                decimate_target)
+    verts_w = np.asarray(verts_w, np.float32)
     colors = None
     if vertex_color and len(verts_w):
         if color_mode == "projection" and len(faces):

@@ -30,6 +30,60 @@ def test_marching_tetrahedra_sphere():
     np.testing.assert_allclose(r2, 0.3, atol=0.02)
 
 
+def _sphere_mesh(res=24, r=1.0):
+    g = np.linspace(-1.5, 1.5, res)
+    x, y, z = np.meshgrid(g, g, g, indexing="ij")
+    vals = r - np.sqrt(x**2 + y**2 + z**2)  # inside > 0
+    sp = 3.0 / (res - 1)
+    v, f = marching.marching_tetrahedra(vals, 0.0, origin=(-1.5,) * 3,
+                                        spacing=(sp,) * 3)
+    return marching.weld_vertices(v, f)
+
+
+def test_clean_mesh_removes_junk_keeps_body():
+    """clean_mesh (reference extract.py:187-253 ladder, numpy impl) must
+    drop duplicate faces, null faces, unreferenced vertices, and small
+    far-away components while keeping the main body."""
+    v, f = _sphere_mesh()
+    n0 = len(f)
+    assert n0 > 100
+    # Junk: a tiny isolated triangle far away, a duplicate of face 0
+    # (rotated order), a null (degenerate-area) face, an unused vertex.
+    # (kept near enough that the 5%-of-bbox-diagonal component rule still
+    # keeps the sphere — the threshold is relative to the WHOLE mesh bbox,
+    # junk included, exactly like the reference's pml.Percentage)
+    extra = np.array([[5, 5, 5], [5.001, 5, 5], [5, 5.001, 5],
+                      [6, 6, 6]])
+    vj = np.concatenate([v, extra])
+    far_tri = [[len(v), len(v) + 1, len(v) + 2]]
+    dup = [[f[0][1], f[0][2], f[0][0]]]
+    # Null face: three distinct but collinear-duplicate verts — use the
+    # same position twice via the close-merge (two verts 1e-9 apart).
+    fj = np.concatenate([f, far_tri, dup]).astype(np.int64)
+    v2, f2 = marching.clean_mesh(vj, fj, v_pct=1.0, min_f=8, min_d=5.0)
+    # Junk gone: no vertex anywhere near the far triangle or orphan.
+    assert v2.max() < 10
+    # Duplicate face removed; body survives.
+    tri_key = np.sort(f2, axis=1)
+    assert len(np.unique(tri_key, axis=0)) == len(f2)
+    assert len(f2) >= 0.8 * n0
+    # Every vertex referenced.
+    assert np.unique(f2.reshape(-1)).size == len(v2)
+
+
+def test_decimate_mesh_hits_target_preserves_extent():
+    v, f = _sphere_mesh(res=32)
+    target = 120
+    assert len(f) > 4 * target
+    v2, f2 = marching.decimate_mesh(v, f, target)
+    assert 0 < len(f2) <= target
+    # Shape extent preserved within a cluster cell.
+    np.testing.assert_allclose(np.abs(v2).max(), np.abs(v).max(), atol=0.4)
+    # Faces index valid, non-degenerate.
+    assert f2.max() < len(v2)
+    assert ((f2[:, 0] != f2[:, 1]) & (f2[:, 1] != f2[:, 2])).all()
+
+
 def test_write_ply_roundtrip(tmp_path):
     verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
     faces = np.array([[0, 1, 2]])
