@@ -1119,6 +1119,33 @@ def cmd_convert_rangenet(args):
     return 0
 
 
+def cmd_convert_vgg(args):
+    """Convert a torchvision VGG19 checkpoint (.pth state_dict; the
+    reference hard-imports torchvision.models.vgg19(pretrained=True),
+    NeRF_Lidar_code/src/model/VGG.py:7-70) into the features.N.weight
+    .npz layout that raydrop.vgg.load_torch_vgg19_npz consumes, then
+    round-trip it through the flax tree as a structural check."""
+    import torch
+
+    sd = torch.load(args.ckpt, map_location="cpu")
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    arrays = {}
+    for k, v in sd.items():
+        k = k[len("module."):] if k.startswith("module.") else k
+        if not k.startswith("features."):
+            continue  # the perceptual loss uses only the conv trunk
+        arrays[k] = v.detach().cpu().numpy()
+    np.savez(args.out, **arrays)
+    from .raydrop.vgg import load_torch_vgg19_npz
+    import jax
+    tree = load_torch_vgg19_npz(args.out)
+    n = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(tree))
+    print(f"wrote {args.out}: {len(arrays)} tensors, {n:,} params loaded "
+          "into the flax VGG19 tree OK")
+    return 0
+
+
 def main(argv: Optional[List[str]] = None):
     # Persistent XLA compile cache: resumed/chunked runs re-use compiled
     # programs instead of paying the multi-minute remote TPU compile again.
@@ -1254,6 +1281,12 @@ def main(argv: Optional[List[str]] = None):
                     help="rangenet.lib 'backbone' torch checkpoint file")
     sp.add_argument("--out", required=True, help="output .npz path")
     sp.set_defaults(fn=cmd_convert_rangenet)
+
+    sp = sub.add_parser("convert_vgg")
+    sp.add_argument("--ckpt", required=True,
+                    help="torchvision VGG19 .pth state_dict")
+    sp.add_argument("--out", required=True, help="output .npz path")
+    sp.set_defaults(fn=cmd_convert_vgg)
 
     sp = sub.add_parser("raydrop_train")
     sp.add_argument("--features", required=True)

@@ -120,6 +120,32 @@ def _fake_rangenet_state_dict():
     return sd
 
 
+def test_convert_vgg_roundtrip(tmp_path, capsys):
+    torch = pytest.importorskip("torch")
+    from nerf_lidar_tpu import cli
+
+    # torchvision VGG19 conv-trunk shapes for the 8 convs the loss uses
+    # plus classifier entries the converter must skip.
+    chans = [(64, 3), (64, 64), (128, 64), (128, 128), (256, 128),
+             (256, 256), (256, 256), (256, 256)]
+    idx = [0, 2, 5, 7, 10, 12, 14, 16]
+    sd = {}
+    for (o, i), n in zip(chans, idx):
+        sd[f"features.{n}.weight"] = torch.randn(o, i, 3, 3)
+        sd[f"features.{n}.bias"] = torch.randn(o)
+    sd["classifier.0.weight"] = torch.randn(8, 8)
+    ckpt = tmp_path / "vgg19.pth"
+    torch.save(sd, str(ckpt))
+    out = tmp_path / "vgg.npz"
+    cli.main(["convert_vgg", "--ckpt", str(ckpt), "--out", str(out)])
+    assert "flax VGG19 tree OK" in capsys.readouterr().out
+    import numpy as np_
+    assert "classifier.0.weight" not in np_.load(out).files
+    # The converted npz must feed RayDropConfig(vgg_npz=...).
+    from nerf_lidar_tpu.raydrop.trainer import RayDropConfig, RayDropTrainer
+    RayDropTrainer(RayDropConfig(vgg=True, vgg_npz=str(out)))
+
+
 def test_convert_rangenet_roundtrip(tmp_path, capsys):
     torch = pytest.importorskip("torch")
     from nerf_lidar_tpu import cli
