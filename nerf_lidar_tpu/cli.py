@@ -379,7 +379,9 @@ def cmd_eval(args):
     mask_j = (jnp.asarray(scene.track_mask)
               if use_obj and scene.track_mask is not None else None)
 
-    renderer = ChunkRenderer(model, cfg, cfg.render_chunk_size)
+    from .parallel import maybe_data_mesh
+    renderer = ChunkRenderer(model, cfg, cfg.render_chunk_size,
+                             mesh=maybe_data_mesh())
     harness = MetricHarness()
     n_views = min(data.num_views, args.max_views or data.num_views)
     os.makedirs(os.path.join(out, "eval"), exist_ok=True)
@@ -607,8 +609,9 @@ def cmd_render(args):
     else:
         poses = data.camtoworlds[: args.num_frames or None]
 
+    from .parallel import maybe_data_mesh
     renderer = ChunkRenderer(model, cfg, cfg.render_chunk_size,
-                             compute_extras=True)
+                             compute_extras=True, mesh=maybe_data_mesh())
     render_dir = os.path.join(out, f"render_{args.path}")
     for i, pose in enumerate(poses):
         pixtocam = (data.pixtocam if data.pixtocam.ndim == 2
@@ -704,8 +707,9 @@ def cmd_render_video(args):
 
     tracks_j = jnp.asarray(tracks) if use_obj else None
     mask_j = jnp.asarray(track_mask) if use_obj else None
+    from .parallel import maybe_data_mesh
     renderer = ChunkRenderer(model, cfg, cfg.render_chunk_size,
-                             compute_extras=True)
+                             compute_extras=True, mesh=maybe_data_mesh())
     render_dir = os.path.join(out, f"video_{args.mode}")
     n = min(args.num_frames, data.num_views)
     for i in range(n):
@@ -813,7 +817,9 @@ def cmd_render_lidar(args):
         l2g[:, :3, 3] = trace[: len(sweeps)]
     sweeps = sweeps[: args.num_sweeps]
 
-    renderer = ChunkRenderer(model, cfg, cfg.render_chunk_size)
+    from .parallel import maybe_data_mesh
+    renderer = ChunkRenderer(model, cfg, cfg.render_chunk_size,
+                             mesh=maybe_data_mesh())
     name = (f"lidar_{args.mode}" if args.obj_mode == "replay"
             else f"lidar_{args.mode}_{args.obj_mode}")
     sweep_dir = os.path.join(out, name)
@@ -887,7 +893,9 @@ def cmd_lidar_eval(args):
     if ts is not None:
         rays["timestamp"] = ts.astype(np.float32)
 
-    renderer = ChunkRenderer(model, cfg, cfg.render_chunk_size)
+    from .parallel import maybe_data_mesh
+    renderer = ChunkRenderer(model, cfg, cfg.render_chunk_size,
+                             mesh=maybe_data_mesh())
     outr = renderer.render(params, rays, tracks_j, mask_j)
     depth = outr["depth"].reshape(-1)
     err = np.abs(depth - gt_depth)
