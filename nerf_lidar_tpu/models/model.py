@@ -280,6 +280,16 @@ class Model(nn.Module):
 
             if use_obj and "obj_mask" in ray_results:
                 rendering["obj_mask"] = ray_results["obj_mask"].sum(-1) > 0
+            if train and "obj_overflow" in ray_results:
+                # Summed over levels; surfaces as the obj_overflow train
+                # stat (train-only: render paths concatenate per-ray
+                # outputs and must not see scalars).
+                prev = renderings[-1].pop("obj_overflow") if (
+                    renderings and "obj_overflow" in renderings[-1]) else 0
+                rendering["obj_overflow"] = (
+                    prev + ray_results.pop("obj_overflow"))
+            else:
+                ray_results.pop("obj_overflow", None)
             if "loss_sym" in ray_results:
                 # Symmetry constraint on the final level only
                 # (reference models.py:574-576).

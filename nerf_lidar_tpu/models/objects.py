@@ -579,6 +579,11 @@ def _composite_objects_compact(obj_mlp, obj_latents, pts_w, viewdirs,
     pos2 = pos.reshape(R, S)
     take = jnp.clip(pos2, 0, budget - 1)
     ok = any_inter & (pos2 < budget)  # overflow keeps the field prediction
+    # Budget-overflow observability: samples that intersected a box but
+    # fell past the budget (they keep the field prediction). Logged as a
+    # train stat so at-scale runs PROVE the budget was sufficient instead
+    # of assuming it.
+    results["obj_overflow"] = jnp.maximum(0, (pos[-1] + 1) - budget)
     for key in ("density", "rgb", "semantic", "intensity"):
         base = results.get(key)
         ov = outs.get(key)

@@ -304,6 +304,10 @@ def compute_losses(params, batch, renderings, ray_history,
     dl, mses = data_loss(batch, renderings, config)
     losses["data"] = dl
     losses["_mses"] = mses  # carried for PSNR stats, stripped before sum
+    if "obj_overflow" in renderings[-1]:
+        # Compacted-obj budget overflow count (objects.py) — a train stat
+        # (underscore: excluded from the loss sum), surfaced by train_step.
+        losses["_obj_overflow"] = renderings[-1]["obj_overflow"]
 
     if config.depth_loss and "depth" in batch:
         losses["depth"] = depth_loss(batch, renderings, config, step)

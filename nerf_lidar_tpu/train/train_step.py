@@ -163,6 +163,8 @@ def train_step_fn(model, tx, config: Config, num_patch_rays: int,
     stats = {k: v for k, v in losses.items()}
     stats["loss"] = loss
     stats["psnr"] = -10.0 * jnp.log10(jnp.maximum(losses["_mses"][-1], 1e-10))
+    if "_obj_overflow" in losses:
+        stats["obj_overflow"] = losses["_obj_overflow"]
     return new_state, stats
 
 

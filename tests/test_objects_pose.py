@@ -536,6 +536,9 @@ def test_train_step_with_pose_and_track_refinement():
         key, sub = jax.random.split(key)
         state, stats = step_fn(state, batch, sub, tracks, track_mask)
     assert np.isfinite(float(stats["loss"]))
+    # Compacted-obj budget observability: the overflow stat must exist
+    # and be zero at tiny shapes (budget >= R*S there).
+    assert int(stats["obj_overflow"]) == 0
     np.testing.assert_allclose(
         np.asarray(state.params["posenet"]["params"]["r"]), 0.0)
     np.testing.assert_allclose(
