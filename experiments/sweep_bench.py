@@ -111,6 +111,25 @@ def main():
     dt = (time.perf_counter() - t0) / len(sweeps)
     result["value_compute_only"] = round(dt, 3)
     result["transfer_share_s"] = round(result["value"] - dt, 3)
+
+    # Chunk-size ladder on the fused full path: fewer dispatches per sweep
+    # vs per-chunk working-set growth — answers whether the single-chip
+    # floor is dispatch- or compute-bound.
+    for chunk in (17600, 35200):
+        try:
+            r2 = ChunkRenderer(model, cfg, chunk, fused=True)
+            out = lrender.render_sweep(r2, params, sweeps[0], data.near,
+                                       data.far, scene.frame)
+            float(np.asarray(out["depth"]).sum())
+            t0 = time.perf_counter()
+            for sw in sweeps:
+                last = lrender.render_sweep(r2, params, sw, data.near,
+                                            data.far, scene.frame)
+            float(np.asarray(last["depth"]).sum())
+            result[f"value_chunk{chunk}"] = round(
+                (time.perf_counter() - t0) / len(sweeps), 3)
+        except Exception as e:  # noqa: BLE001 (OOM at big chunks is data)
+            result[f"value_chunk{chunk}"] = f"failed: {type(e).__name__}"
     print(json.dumps(result))
 
 
