@@ -26,12 +26,20 @@ echo "watcher_r5: chip session done ($?) at $(date)" >&2
 timeout 3600 python bench.py > exp/BENCH_local_r5.json 2>&1
 echo "watcher_r5: bench done ($?) at $(date)" >&2
 
-XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
-  timeout 7200 python -c "
+if [ -f exp/MULTICHIP_exec_r5.json ]; then
+  echo "watcher_r5: multichip execute already done (artifact exists), skipping" >&2
+else
+  # NB: the JAX_PLATFORMS env var is hijacked by the axon site customization
+  # (verify-skill gotcha) — switch platforms via jax.config.update instead.
+  XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+    timeout 7200 python -c "
+import jax
+jax.config.update('jax_platforms', 'cpu')
 import json, time, __graft_entry__ as g
 t0 = time.time()
 g.execute_flagship_multichip(8)
 json.dump({'n_devices': 8, 'executed': True, 'wall_s': round(time.time()-t0, 1)},
           open('exp/MULTICHIP_exec_r5.json', 'w'), indent=1)
 " > exp/multichip_exec_r5.log 2>&1
-echo "watcher_r5: multichip execute done ($?) at $(date)" >&2
+  echo "watcher_r5: multichip execute done ($?) at $(date)" >&2
+fi
