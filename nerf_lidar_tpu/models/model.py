@@ -203,8 +203,16 @@ class Model(nn.Module):
                         (self.obj_mlps[k], tuple(slots))
                         for k, slots in sorted(
                             _class_slots(c.obj_class_ids).items())]
+                # Budgeted compaction is a TRAIN-step optimization: random
+                # ray batches intersect boxes sparsely, so K = frac*R*S is
+                # ample and overflow ~never fires (logged as obj_overflow).
+                # Eval/render chunks are CONTIGUOUS pixels — a chunk covered
+                # by one near object exceeds any fixed frac and overflow
+                # rays would fall back to the (object-free) field, which
+                # rendered as row-stripe holes in test views. Inference runs
+                # the exact dense path instead.
                 budget = None
-                if c.obj_sample_frac > 0:
+                if c.obj_sample_frac > 0 and train:
                     rs = int(np.prod(pts_w.shape[:-1]))
                     budget = min(rs, int(-(-rs * c.obj_sample_frac // 128))
                                  * 128)

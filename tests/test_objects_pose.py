@@ -673,3 +673,47 @@ def test_model_obj_sem_ids_end_to_end():
         a = np.asarray(r_lab[-1]["semantic"])
         b = np.asarray(r_plain[-1]["semantic"])
         assert a.shape == b.shape
+
+
+def test_eval_path_ignores_sample_budget():
+    """train=False rendering must take the exact dense object path even when
+    obj_sample_frac's budget would overflow at these shapes.
+
+    Regression for the striped-sphere artifact: eval/render chunks are
+    CONTIGUOUS pixels, so a chunk covered by one near object intersects far
+    more than frac*R*S samples; under the budget, overflow rays fell back to
+    the (object-free) field and test views rendered row-stripe holes through
+    dynamic objects (exp/scale_r5q train_renders @5000). The budget is a
+    train-step optimization only (random ray batches are box-sparse)."""
+    cfg, model, tracks, track_mask = _obj_model_setup()
+    budgeted = Model(dataclasses.replace(model.cfg, obj_sample_frac=0.01))
+    dense = Model(dataclasses.replace(model.cfg, obj_sample_frac=0.0))
+    batch = _batch_through_origin(R=64)
+    # One big box covering most of the ray span: every ray's samples are
+    # mostly in-box, the contiguous-chunk worst case.
+    tracks = np.zeros((2, 4, 9), np.float32)
+    tracks[:, :, 0] = 3.0          # cx
+    tracks[:, :, 4:7] = 4.0        # big box
+    tracks[:, :, -2] = np.arange(4)
+    tracks[1, :, -1] = 1
+    tracks = jnp.asarray(tracks)
+    params = budgeted.init(jax.random.PRNGKey(0), None, batch,
+                           tracks=tracks, track_mask=track_mask)
+
+    # Premise: at train=True this frac DOES overflow on this batch (every
+    # ray crosses both boxes), so the eval-path equality below is
+    # non-vacuous.
+    r_tr, _ = budgeted.apply(params, None, batch, tracks=tracks,
+                             track_mask=track_mask, train=True)
+    assert float(r_tr[-1]["obj_overflow"]) > 0, "premise: budget overflows"
+
+    r_b, _ = budgeted.apply(params, None, batch, tracks=tracks,
+                            track_mask=track_mask, train=False)
+    r_d, _ = dense.apply(params, None, batch, tracks=tracks,
+                         track_mask=track_mask, train=False)
+    assert "obj_overflow" not in r_b[-1]
+    for k in ("rgb", "depth", "acc"):
+        if k in r_d[-1]:
+            np.testing.assert_allclose(np.asarray(r_b[-1][k]),
+                                       np.asarray(r_d[-1][k]),
+                                       rtol=1e-5, atol=1e-6, err_msg=k)
