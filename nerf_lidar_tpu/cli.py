@@ -119,6 +119,20 @@ def load_scene_for(cfg: configs.Config, split: str = "train"):
             exposure_percentile=cfg.exposure_percentile,
             process_index=jax.process_index(),
             process_count=jax.process_count())
+    if cfg.dataset_loader in ("tat_nerfpp", "tat_fvs", "dtu"):
+        # Remaining entries of the reference's multinerf dataset zoo
+        # (waymo_zipnerf_dataset.py:817-1010).
+        from .data import tat_dtu
+        if cfg.dataset_loader == "tat_nerfpp":
+            return tat_dtu.load_tat_nerfpp(cfg.data_dir, split=split)
+        if cfg.dataset_loader == "tat_fvs":
+            return tat_dtu.load_tat_fvs(cfg.data_dir, split=split,
+                                        factor=max(cfg.factor, 0),
+                                        llffhold=cfg.llffhold)
+        return tat_dtu.load_dtu(cfg.data_dir, split=split,
+                                factor=max(cfg.factor, 1),
+                                dtu_light_cond=cfg.dtu_light_cond,
+                                dtuhold=cfg.dtuhold)
     if cfg.dataset_loader == "synthetic" or cfg.data_dir is None:
         import types
 

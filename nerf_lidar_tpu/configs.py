@@ -217,6 +217,11 @@ class Config:
     # + forward_facing).
     llffhold: int = 8
     forward_facing: bool = False
+    # DTU rectified scans (dataset_loader='dtu', data/tat_dtu.py): fixed
+    # lighting condition (7 = 'max' composite) and test-split stride
+    # (reference waymo_zipnerf_dataset.py:944-951 / multinerf defaults).
+    dtu_light_cond: int = 2
+    dtuhold: int = 8
     # RawNeRF: train on demosaicked linear raw mosaics from <scene>/raw/
     # with per-view exposure scaling (reference configs.py rawnerf_mode +
     # exposure_percentile; utils/raw.py).
