@@ -58,6 +58,8 @@ if __name__ == "__main__":
         ("quality hash fast (scale_fast25)", "exp/scale_fast25/metrics.jsonl"),
         ("parity reference-exact (scale_parity)",
          "exp/scale_parity/metrics.jsonl"),
+        ("round-5 quality rerun (scale_r5q)",
+         "exp/scale_r5q/metrics.jsonl"),
     ]
     print("### Train-batch PSNR at aligned steps\n")
     curve_table(runs)
@@ -70,20 +72,27 @@ if __name__ == "__main__":
                       f"(full recipe, solo unless noted)")
     import glob
     evals = (sorted(glob.glob("exp/scale_speed/eval/metrics_*.json"))
-             + sorted(glob.glob("exp/scale_fast25/eval/metrics_*.json")))
+             + sorted(glob.glob("exp/scale_fast25/eval/metrics_*.json"))
+             + sorted(glob.glob("exp/scale_r5q/eval/metrics_*.json")))
     files = ([("eval " + p.split("exp/")[1], p) for p in evals]
              + [("lidar_eval", "exp/scale_speed/lidar_eval/metrics.json"),
                 ("lidar_eval fast25",
                  "exp/scale_fast25/lidar_eval/metrics.json"),
                 ("lidar_eval parity", "exp/scale_parity/lidar_eval/metrics.json"),
+                ("lidar_eval r5q", "exp/scale_r5q/lidar_eval/metrics.json"),
+                ("raydrop dense summary r5q",
+                 "exp/scale_r5q/kitti_dense/summary.json"),
                 ("bench", "exp/BENCH_local_r4.json"),
-                ("bench r4c", "exp/BENCH_local_r4c.json")])
+                ("bench r4c", "exp/BENCH_local_r4c.json"),
+                ("bench r5", "exp/BENCH_local_r5.json"),
+                ("multichip exec r5", "exp/MULTICHIP_exec_r5.json")])
     for tag, p in files:
         if os.path.exists(p):
             print(f"\n### {tag}\n```json")
             sys.stdout.write(open(p).read().strip() + "\n```\n")
     # sweep_bench prints its JSON line into the chip-session logs.
-    for log in ("exp/chip_session_r4.log", "exp/chip_session_r4c.log"):
+    for log in ("exp/chip_session_r4.log", "exp/chip_session_r4c.log",
+                "exp/chip_session_r5b.log"):
         if os.path.exists(log):
             for line in open(log):
                 if line.startswith("{") and "sweeps_per_sec" in line:
