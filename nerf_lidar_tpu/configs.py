@@ -165,7 +165,13 @@ class ModelConfig:
     # the field prediction; objects.py _composite_objects_compact).
     # Measured round 5: the dense eval made objects 3.6x the stripped
     # step because every sample paid the obj hash encode. <= 0 disables
-    # (dense reference-shaped evaluation).
+    # (dense reference-shaped evaluation). 0.125 is sized from measured
+    # ray-box hit fractions (exp/profile_recipe/obj_frac.json: mean 2.8%
+    # of rays hit a box on the at-scale scene, but a 32x32 patch landing
+    # on a vehicle pushes the worst batch to 23%, and resampling
+    # concentrates a hitting ray's samples near the box surface) — the
+    # obj_overflow train stat is the tripwire if a scene exceeds it.
+    # Train-only: inference always runs the dense path (models/model.py).
     obj_sample_frac: float = 0.125
     # MLP blocks (gin alias analog).
     nerf_mlp: MLPConfig = MLPConfig(
