@@ -76,9 +76,9 @@ def build_and_time(name, cfg, with_lidar, with_objects, with_posenet,
                                learn_t=True)
         pn_params = posenet.init(jax.random.PRNGKey(1),
                                  jnp.zeros(1, jnp.int32))
-        if with_objects:
-            tracknet = pn.TrackOpt(num_objects=2, num_timestamps=3)
-            tn_params = tracknet.init(jax.random.PRNGKey(2), tracks_j)
+    if with_objects and cfg.track_refine:
+        tracknet = pn.TrackOpt(num_objects=2, num_timestamps=3)
+        tn_params = tracknet.init(jax.random.PRNGKey(2), tracks_j)
     if not cfg.track_refine:
         tracknet = tn_params = None
     state, tx = train_step.create_train_state(cfg, params, pn_params,
@@ -107,6 +107,11 @@ def build_and_time(name, cfg, with_lidar, with_objects, with_posenet,
         "rays_per_sec": round(batcher.total_rays * n_steps / dt, 1),
         "compile_plus_warm_s": round(compile_s, 1),
     }
+    if "obj_overflow" in stats:
+        # Compaction-budget tripwire: >0 means the measured config dropped
+        # intersecting samples back to the field prediction this step.
+        res["obj_overflow_last_step"] = int(jax.device_get(
+            stats["obj_overflow"]))
     print(json.dumps(res), flush=True)
     return res
 
@@ -143,6 +148,23 @@ def main():
     Bd = dataclasses.replace(A, model=dataclasses.replace(
         A.model, instance_obj=True, num_objects=2, obj_sample_frac=0.0))
     variants.append(("objects_dense", Bd, False, True, False))
+    # B2: objects with the obj grid's input-grad replay disabled (the
+    # default diff_inputs=True is only NEEDED under track/pose refinement;
+    # validate() accepts False here). Isolates the replay share of B.
+    B2 = dataclasses.replace(B, model=dataclasses.replace(
+        B.model, obj_mlp=dataclasses.replace(
+            B.model.obj_mlp, grid=dataclasses.replace(
+                B.model.obj_mlp.grid, diff_inputs=False))))
+    variants.append(("objects_nodiff", B2, False, True, False))
+    # B3: objects on the spectral obj field (configs.spectral_obj_variant)
+    # — isolates the hashed-table share of B (gathers + scatter backward).
+    B3 = configs.spectral_obj_variant(B)
+    variants.append(("objects_spectral", B3, False, True, False))
+    # B4: + track refinement on top of objects (obj grid diff_inputs=True
+    # is the only gradient requirement — the main field keeps its
+    # scatter-only fast path; configs.Config.validate accepts this).
+    B4 = dataclasses.replace(B, track_refine=True)
+    variants.append(("trackrefine", B4, False, True, False))
     # C: + 32x32 patches only
     C = dataclasses.replace(A, patch_size=32)
     variants.append(("patches", C, False, False, False))
@@ -164,6 +186,10 @@ def main():
         model=dataclasses.replace(A.model, instance_obj=True,
                                   num_objects=2)))
     variants.append(("full", G, True, True, True))
+    # G': full recipe with the spectral obj field — the candidate
+    # flagship full-recipe config if quality holds (exp/obj_field_quality).
+    Gs = configs.spectral_obj_variant(G)
+    variants.append(("full_spectralobj", Gs, True, True, True))
 
     os.makedirs(OUT, exist_ok=True)
     results = []

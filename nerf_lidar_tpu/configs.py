@@ -497,6 +497,30 @@ def mxu_variant(base: Config) -> Config:
     return dataclasses.replace(base, model=model)
 
 
+def spectral_obj_variant(base: Config) -> Config:
+    """Per-object fields on the gather-free spectral encoder.
+
+    mxu_variant kept the obj fields hashed ("objects are small and few"),
+    but once the main field is spectral the obj encode is the train step's
+    ONLY hashed gather/scatter — exp/profile_recipe (round 5) measures the
+    compacted objects rung at +63% step time (60.6k -> 37.1k rays/s), table
+    traffic plus the diff_inputs input-grad replay that track refinement
+    forces through the hash backward. A unit-box vehicle field does not
+    need hashing: a 32^3 dense band (direct-indexed, far below the v5e
+    2^17-row gather cliff) plus an IPE-damped Fourier bank spanning
+    [32, 1024] cycles/box carries the hashed capacity as matmul work, and
+    the position gradients track refinement needs cost one extra matmul
+    instead of a gather replay. Composable with any field variant.
+    """
+    og = dataclasses.replace(
+        base.model.obj_mlp.grid, encoder="dense_fourier",
+        fourier_freqs=96, fourier_dense_res=32, fourier_pooled=True,
+        interp="tetra")
+    return dataclasses.replace(base, model=dataclasses.replace(
+        base.model,
+        obj_mlp=dataclasses.replace(base.model.obj_mlp, grid=og)))
+
+
 def bf16_variant(base: Config) -> Config:
     """Run every MLP's matmuls/activations in bfloat16 (params f32; encode,
     density softplus, and compositing stay f32 — see MLPConfig.compute_dtype).

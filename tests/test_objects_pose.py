@@ -717,3 +717,35 @@ def test_eval_path_ignores_sample_budget():
             np.testing.assert_allclose(np.asarray(r_b[-1][k]),
                                        np.asarray(r_d[-1][k]),
                                        rtol=1e-5, atol=1e-6, err_msg=k)
+
+
+def test_spectral_obj_field_composites_and_track_grads():
+    """configs.spectral_obj_variant: the per-object field on the
+    dense+Fourier encoder (ops/fourier.py) instead of a hashed grid. The
+    forward must composite like the hashed obj field, and track gradients
+    (what track refinement optimizes, reference train.py:244-268) must
+    flow through the Fourier encode + compacted train path — the matmul
+    alternative to the hash input-grad replay."""
+    cfg, _, tracks, track_mask = _obj_model_setup()
+    cfg = configs.spectral_obj_variant(cfg)
+    og = dataclasses.replace(cfg.model.obj_mlp.grid, fourier_freqs=8,
+                             fourier_dense_res=8, desired_resolution=16)
+    mcfg = dataclasses.replace(
+        cfg.model, obj_mlp=dataclasses.replace(cfg.model.obj_mlp, grid=og))
+    model = Model(mcfg)
+    batch = _batch_through_origin()
+    params = model.init(jax.random.PRNGKey(0), None, batch, tracks=tracks,
+                        track_mask=track_mask)
+    renderings, _ = model.apply(params, None, batch, train=True,
+                                tracks=tracks, track_mask=track_mask)
+    assert bool(renderings[-1]["obj_mask"].any())
+
+    def loss(tr):
+        r, _ = model.apply(params, None, batch, train=True, tracks=tr,
+                           track_mask=track_mask)
+        return (r[-1]["rgb"] ** 2).mean()
+
+    g = np.asarray(jax.grad(loss)(tracks))
+    assert np.isfinite(g).all()
+    # Box centers/yaw receive gradient through the spectral encode.
+    assert np.abs(g[:, :, :4]).max() > 0
