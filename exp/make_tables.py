@@ -60,6 +60,10 @@ if __name__ == "__main__":
          "exp/scale_parity/metrics.jsonl"),
         ("round-5 quality rerun (scale_r5q)",
          "exp/scale_r5q/metrics.jsonl"),
+        ("objq shootout: hashed obj field (objq_hash)",
+         "exp/objq_hash/metrics.jsonl"),
+        ("objq shootout: spectral obj field (objq_spec)",
+         "exp/objq_spec/metrics.jsonl"),
     ]
     print("### Train-batch PSNR at aligned steps\n")
     curve_table(runs)
@@ -73,7 +77,9 @@ if __name__ == "__main__":
     import glob
     evals = (sorted(glob.glob("exp/scale_speed/eval/metrics_*.json"))
              + sorted(glob.glob("exp/scale_fast25/eval/metrics_*.json"))
-             + sorted(glob.glob("exp/scale_r5q/eval/metrics_*.json")))
+             + sorted(glob.glob("exp/scale_r5q/eval/metrics_*.json"))
+             + sorted(glob.glob("exp/objq_hash/eval/metrics_*.json"))
+             + sorted(glob.glob("exp/objq_spec/eval/metrics_*.json")))
     files = ([("eval " + p.split("exp/")[1], p) for p in evals]
              + [("lidar_eval", "exp/scale_speed/lidar_eval/metrics.json"),
                 ("lidar_eval fast25",
@@ -85,7 +91,11 @@ if __name__ == "__main__":
                 ("bench", "exp/BENCH_local_r4.json"),
                 ("bench r4c", "exp/BENCH_local_r4c.json"),
                 ("bench r5", "exp/BENCH_local_r5.json"),
-                ("multichip exec r5", "exp/MULTICHIP_exec_r5.json")])
+                ("multichip exec r5", "exp/MULTICHIP_exec_r5.json"),
+                ("profile ladder r5c (objects decomposition)",
+                 "exp/profile_recipe/results.json"),
+                ("obj hit fractions (budget sizing)",
+                 "exp/profile_recipe/obj_frac.json")])
     for tag, p in files:
         if os.path.exists(p):
             print(f"\n### {tag}\n```json")
