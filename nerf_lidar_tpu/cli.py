@@ -1098,6 +1098,83 @@ def cmd_raydrop_drop(args):
     print(f"exported {n} sweeps to {args.out}")
 
 
+def cmd_points_vis(args):
+    """Point-cloud inspection dumps — the capability behind the
+    reference's hard-coded one-offs (nerflidar_related_scripts/
+    points_check.py, gt_label.py, ray_drop_compare.py,
+    simulation_points_vis.py): read .bin/.npy clouds (+ optional .label),
+    filter by class / sky / z-floor, write .obj files named per variant
+    for side-by-side comparison."""
+    from .lidar import export as export_lib
+
+    classes = ([int(c) for c in args.classes.split(",")]
+               if args.classes else None)
+    os.makedirs(args.out, exist_ok=True)
+    written = []
+    for spec in args.points:
+        name, _, path = spec.rpartition("=")
+        if not name:
+            name = os.path.splitext(os.path.basename(path))[0]
+        labels = None
+        lab_path = args.labels
+        if lab_path is None and path.endswith(".bin"):
+            cand = path.replace("velodyne", "labels")[:-3] + "label"
+            lab_path = cand if os.path.exists(cand) and cand != path \
+                else None
+        if lab_path:
+            labels = export_lib.read_label(lab_path)
+        pts = export_lib.load_points_any(
+            path, dims=args.dims,
+            n_points=0 if labels is None else len(labels))
+        if labels is not None:
+            labels = labels[: len(pts)]
+        keep = np.ones(len(pts), bool)
+        if labels is not None:
+            if classes:  # e.g. 13,14,15 = vehicles (ray_drop_compare:30)
+                keep &= np.isin(labels, classes)
+            if args.drop_sky:
+                keep &= labels != 10
+        if args.z_min is not None:
+            keep &= pts[:, 2] > args.z_min
+        if labels is not None and args.per_class:
+            # gt_label.py:18-23: one .obj per class id, label appended.
+            for c in np.unique(labels[keep]):
+                sel = keep & (labels == c)
+                out = os.path.join(args.out, f"{name}_class{int(c)}.obj")
+                export_lib.write_obj(
+                    out, np.concatenate(
+                        [pts[sel], labels[sel, None].astype(np.float32)],
+                        axis=1))
+                written.append((out, int(sel.sum())))
+        else:
+            out = os.path.join(args.out, f"{name}.obj")
+            export_lib.write_obj(out, pts[keep])
+            written.append((out, int(keep.sum())))
+    for out, n in written:
+        print(f"{out}: {n} points")
+
+
+def cmd_raydrop_val_vis(args):
+    """Validation-split drop-mask .obj dumps + accuracy
+    (drop_samples/drop_rays_val.py analog; see raydrop/val_vis.py)."""
+    from .raydrop import val_vis
+    from .raydrop.trainer import RayDropConfig, RayDropTrainer
+
+    data = np.load(args.features, allow_pickle=True).item()
+    trainer = RayDropTrainer(RayDropConfig(vgg=False,
+                                           val_fraction=args.val_fraction))
+    state = trainer.restore(args.ckpt, data["images"].shape[1],
+                            data["images"].shape[2])
+    metrics = val_vis.dump_val_masks(trainer, state, data, args.out,
+                                     threshold=args.threshold,
+                                     seed=args.seed,
+                                     max_frames=args.max_frames)
+    print("val_vis: " + " ".join(
+        f"{k}={v:.4f}" for k, v in metrics.items()
+        if isinstance(v, float)))
+    print(f"wrote raw/gt/pred/real .obj per val frame to {args.out}")
+
+
 def cmd_validate_scene(args):
     """Check a scene dir against every loader convention (data/validate.py)
     so real-data training is a one-liner the moment a scene is mounted."""
@@ -1291,6 +1368,37 @@ def main(argv: Optional[List[str]] = None):
                     help="decimate to <= N faces by vertex clustering "
                          "(reference extract.py decimate_mesh)")
     sp.set_defaults(fn=cmd_extract)
+
+    sp = sub.add_parser("points_vis")
+    sp.add_argument("--points", action="append", required=True,
+                    help="[name=]path to .bin/.npy cloud, repeatable "
+                         "(multi-variant comparison dumps)")
+    sp.add_argument("--labels", default=None,
+                    help=".label file (auto-derived from velodyne/ paths)")
+    sp.add_argument("--out", default="points_vis")
+    sp.add_argument("--classes", default=None,
+                    help="keep only these class ids, e.g. 13,14,15")
+    sp.add_argument("--per_class", action="store_true",
+                    help="one .obj per class id with the label appended")
+    sp.add_argument("--drop_sky", action="store_true",
+                    help="drop class 10 (sky) points")
+    sp.add_argument("--z_min", type=float, default=None,
+                    help="drop points at or below this height, e.g. -1.75")
+    sp.add_argument("--dims", type=int, default=0,
+                    help="force .bin row width (default: infer 5/4/3)")
+    sp.set_defaults(fn=cmd_points_vis)
+
+    sp = sub.add_parser("raydrop_val_vis")
+    sp.add_argument("--features", required=True,
+                    help="the .npy the trainer consumed")
+    sp.add_argument("--ckpt", required=True)
+    sp.add_argument("--out", default="mask_vis")
+    sp.add_argument("--threshold", type=float, default=0.5)
+    sp.add_argument("--seed", type=int, default=0,
+                    help="the fit seed (reproduces its val split)")
+    sp.add_argument("--val_fraction", type=float, default=0.2)
+    sp.add_argument("--max_frames", type=int, default=0)
+    sp.set_defaults(fn=cmd_raydrop_val_vis)
 
     sp = sub.add_parser("validate_scene")
     sp.add_argument("scene_dir")

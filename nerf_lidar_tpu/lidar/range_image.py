@@ -125,6 +125,43 @@ def project_range_image_jax(points, h: int = DEFAULT_H, w: int = DEFAULT_W,
     return rimg.reshape(h, w), bins
 
 
+def unproject_grid(range_img: np.ndarray,
+                   fov_up: float = FOV_UP_DEG,
+                   fov_down: float = FOV_DOWN_DEG) -> np.ndarray:
+    """Back-project a metric range image to sensor-frame xyz at pixel
+    centers — the inverse of `project_points`' spherical mapping. The
+    reference reads the same geometry back out of LaserScan's proj_xyz
+    buffer (drop_samples/drop_rays_val.py:65-73 'prediction mask' dump);
+    here the grid is reconstructed analytically so a features-only .npy
+    (no retained per-point arrays) can still be visualized.
+
+    range_img: [H, W] metric range (<=0 = empty, left at the origin).
+    Returns [H, W, 3].
+    """
+    h, w = range_img.shape
+    fov_up_r = fov_up / 180.0 * np.pi
+    fov_down_r = fov_down / 180.0 * np.pi
+    fov = abs(fov_down_r) + abs(fov_up_r)
+    px = (np.arange(w, dtype=np.float32) + 0.5)[None, :]
+    py = (np.arange(h, dtype=np.float32) + 0.5)[:, None]
+    yaw = (2.0 * px / w - 1.0) * np.pi  # proj_x = 0.5*(yaw/pi+1)*w
+    pitch = (1.0 - py / h) * fov - abs(fov_down_r)
+    r = np.maximum(range_img, 0.0)[..., None]
+    cp = np.cos(pitch)
+    # yaw here is -arctan2(y, x) (the projection's sign convention).
+    xyz = np.stack([cp * np.cos(yaw) * np.ones_like(px),
+                    -cp * np.sin(yaw) * np.ones_like(px),
+                    np.sin(pitch) * np.ones_like(px)], axis=-1)
+    return (xyz * r).astype(np.float32)
+
+
+def denormalize_range(v: np.ndarray) -> np.ndarray:
+    """Inverse of `normalize_range`: 2^(v*6.5) - 1
+    (drop_rays_val.py:87-92 dist_backtoreal)."""
+    return np.where(v > 0, np.exp2(v * RANGE_LOG_NORM) - 1.0,
+                    0.0).astype(np.float32)
+
+
 def normalize_range(r: np.ndarray) -> np.ndarray:
     """log2(r + 1) / 6.5 with empties (-1) left at 0
     (Generate_feature.py:44-48)."""

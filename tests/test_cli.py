@@ -143,3 +143,50 @@ def test_raydrop_features_pair_format_error():
     with pytest.raises(SystemExit, match="scene_dir:sim_sweep_dir"):
         cli.main(["raydrop_features", "--pair", "/no/colon/here",
                   "--out", "/tmp/x.npy"])
+
+
+def test_points_vis_variants(tmp_path, capsys):
+    """points_vis: .bin + auto-derived labels, class filter, per-class
+    dumps, npy transpose handling (nerflidar_related_scripts analogs)."""
+    import numpy as np
+
+    from nerf_lidar_tpu import cli
+    from nerf_lidar_tpu.lidar import export as export_lib
+
+    rng = np.random.RandomState(0)
+    pts = rng.randn(40, 3).astype(np.float32) * 10
+    labels = rng.randint(0, 19, 40).astype(np.uint32)
+    scene = tmp_path / "seq"
+    export_lib.write_bin_label(str(scene), 0, pts, labels)
+    binp = scene / "velodyne" / "000000.bin"
+
+    out = tmp_path / "vis"
+    cli.main(["points_vis", "--points", f"sim={binp}",
+              "--out", str(out), "--classes", "13,14,15"])
+    objs = sorted(out.glob("*.obj"))
+    assert [o.name for o in objs] == ["sim.obj"]
+    n_expect = int(np.isin(labels, [13, 14, 15]).sum())
+    assert sum(1 for _ in open(objs[0])) == n_expect
+
+    # per-class with label column appended (gt_label.py analog)
+    out2 = tmp_path / "vis2"
+    cli.main(["points_vis", "--points", f"x={binp}", "--out", str(out2),
+              "--per_class"])
+    got = sorted(out2.glob("x_class*.obj"))
+    assert len(got) == len(np.unique(labels))
+    first = open(got[0]).readline().split()
+    assert len(first) == 5  # v x y z label
+
+    # channel-major .npy is transposed on load
+    npy = tmp_path / "pts.npy"
+    np.save(npy, pts.T)
+    loaded = export_lib.load_points_any(str(npy))
+    np.testing.assert_allclose(loaded, pts)
+
+    # z_min filter without labels
+    out3 = tmp_path / "vis3"
+    cli.main(["points_vis", "--points", str(npy), "--out", str(out3),
+              "--z_min", "0.0"])
+    n = sum(1 for _ in open(out3 / "pts.obj"))
+    assert n == int((pts[:, 2] > 0).sum())
+    capsys.readouterr()

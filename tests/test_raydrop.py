@@ -268,3 +268,59 @@ def test_load_sim_sweep_dir_rejects_stale_files(tmp_path):
     np.save(d / "lidar2globals.npy", np.tile(np.eye(4), (2, 1, 1)))
     with pytest.raises(ValueError, match="stale"):
         features.load_sim_sweep_dir(str(d))
+
+
+def test_unproject_grid_inverts_projection():
+    """project -> unproject at pixel centers reproduces the points."""
+    from nerf_lidar_tpu.lidar import range_image as ri
+
+    pts, _, _ = _fake_sweep(seed=3)
+    img = ri.project_points(pts, h=H, w=W, use_native=False)
+    xyz = ri.unproject_grid(img.range)
+    filled = img.idx >= 0
+    # Pixel-center quantization bounds the error by the bin solid angle.
+    src = pts[img.idx[filled]]
+    err = np.linalg.norm(xyz[filled] - src, axis=-1)
+    rng = np.linalg.norm(src, axis=-1)
+    assert np.median(err / rng) < 0.05, np.median(err / rng)
+    # Range itself is exact (unprojection preserves the radius).
+    np.testing.assert_allclose(np.linalg.norm(xyz[filled], axis=-1),
+                               img.range[filled], rtol=1e-5)
+
+
+def test_denormalize_range_roundtrip():
+    from nerf_lidar_tpu.lidar import range_image as ri
+
+    r = np.array([[0.0, 1.0, 10.0, 88.0]], np.float32)
+    v = ri.normalize_range(r)
+    back = ri.denormalize_range(v)
+    np.testing.assert_allclose(back[r > 0], r[r > 0], rtol=1e-5)
+    assert back[0, 0] == 0.0
+
+
+def test_raydrop_val_vis_writes_objs(tmp_path):
+    from nerf_lidar_tpu.raydrop import val_vis
+
+    rng = np.random.RandomState(0)
+    images = rng.rand(5, H, W, 6).astype(np.float32)
+    images[..., 0] *= (rng.rand(5, H, W) > 0.3)
+    masks = (images[..., 0] > 0).astype(np.int32)
+    ranges = images[..., 0]
+    data = dict(images=images, masks=masks, ranges=ranges)
+    cfg = RayDropConfig(epochs=2, batch_size=2, vgg=False,
+                        eval_every=100, early_stop=False)
+    trainer = RayDropTrainer(cfg)
+    state = trainer.fit(data, log_fn=lambda *_: None)
+    out = str(tmp_path / "mask_vis")
+    metrics = val_vis.dump_val_masks(trainer, state, data, out, seed=0)
+    idx = val_vis.val_indices(5, cfg.val_fraction, 0)
+    assert len(idx) == 1
+    i = int(idx[0])
+    for kind in ("raw", "gt", "pred", "real"):
+        p = tmp_path / "mask_vis" / f"{kind}_{i:04d}.obj"
+        assert p.exists(), p
+    # raw dump has one vertex per valid sim pixel.
+    n_lines = sum(1 for _ in open(tmp_path / "mask_vis" / f"raw_{i:04d}.obj"))
+    assert n_lines == int((images[i][..., 0] > 0).sum())
+    assert 0.0 <= metrics["acc_mean"] <= 1.0
+    assert (tmp_path / "mask_vis" / "val_vis.json").exists()
