@@ -26,7 +26,13 @@ Run solo on the chip (chip-exclusive rule, verify skill).
 import dataclasses
 import json
 import os
+import sys
 import time
+
+# Must precede any nerf_lidar_tpu import: `python exp/profile_recipe.py`
+# puts exp/ (not the repo root) on sys.path (r5c watcher ran it that way
+# and died on ModuleNotFoundError).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -133,9 +139,6 @@ def main():
     A = stripped(base)
     variants = []
 
-    import sys
-    sys.path.insert(0, os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))))
     from bench import enable_refinement_grads
 
     # A: stripped headline (bench.py's `value` config)

@@ -25,6 +25,11 @@ import numpy as np  # noqa: E402
 
 CONFIG = sys.argv[1] if len(sys.argv) > 1 else "nuscenes_single_mxu"
 EXP = sys.argv[2] if len(sys.argv) > 2 else "scale_mxu"
+# "fresh": bench from a fresh init when no checkpoint survives. Sweep
+# throughput is weight-independent (static shapes, identical compute), so
+# this keeps configs benchable after their training checkpoints age out
+# (round 4's scale_speed endpoint was not retained).
+FRESH = "fresh" in sys.argv[3:]
 
 
 def main():
@@ -42,7 +47,8 @@ def main():
     data = scene.data
     import dataclasses
     model = Model(dataclasses.replace(cfg.model, instance_obj=False))
-    params, step = cli._restore_model_params(cfg, model, data)
+    params, step = cli._restore_model_params(cfg, model, data,
+                                              allow_fresh=FRESH)
 
     l2g0 = scene.lidar["lidar2globals"][0] if scene.lidar else np.eye(4)
     sweeps, _ = sensorlib.simulated_sweeps(
@@ -51,6 +57,8 @@ def main():
 
     result = {"metric": "sweep_render_s", "config": CONFIG,
               "step": int(step), "rays_per_sweep": 32 * 1100}
+    if FRESH:
+        result["fresh_init"] = True
     # fused=True: the Pallas fused-composite inference path (the shipped
     # default on TPU); fused=False: the plain XLA compositing chain;
     # "bf16": fused + bfloat16 MLP compute (params stay the restored f32 —
