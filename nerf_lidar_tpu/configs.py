@@ -245,6 +245,14 @@ class Config:
     near: float = 0.1
     far: float = 10.0
     render_chunk_size: int = 16384
+    # Pallas fused final-level compositing on inference paths: None =
+    # backend auto (on for real TPU). Per-preset measured knob, not a
+    # global truth — the speed field's sweep is working-set-bound and
+    # the plain XLA chain beats the fused kernel there (0.219 vs
+    # 0.276 s/sweep, exp/sweep_bench_r5d.log), while the quality field
+    # is dispatch-bound and fused + a larger chunk wins (3.17 -> 2.10
+    # s/sweep at chunk 17600, exp/chip_session_r5b.log).
+    render_fused: Optional[bool] = None
 
     # Train loop.
     max_steps: int = 25000
@@ -455,7 +463,11 @@ def fast_variant(base: Config) -> Config:
                                      ms_coarse_res_cutoff=1024),
         obj_mlp=dataclasses.replace(base.model.obj_mlp, grid=obj_grid),
     )
-    return dataclasses.replace(base, model=model)
+    # Hash quality field is dispatch-bound on sweeps: fused compositing
+    # + a 17,600-ray chunk measured 1.51x over chunk 8,800
+    # (exp/chip_session_r5b.log, VERDICT r4 #6 decomposition).
+    return dataclasses.replace(base, model=model, render_fused=True,
+                               render_chunk_size=17600)
 
 
 def mxu_variant(base: Config) -> Config:
@@ -553,10 +565,15 @@ def speed_variant(base: Config) -> Config:
     nerf = dataclasses.replace(
         m.nerf_mlp,
         grid=dataclasses.replace(m.nerf_mlp.grid, fourier_freqs=512))
+    # The speed field's sweep is working-set-bound, not dispatch-bound:
+    # plain XLA compositing beats the Pallas fused kernel (0.219 vs
+    # 0.276 s/sweep) and the chunk ladder inverts (8,800 beats 17,600;
+    # exp/sweep_bench_r5d.log).
     return dataclasses.replace(
-        cfg, model=dataclasses.replace(m, nerf_mlp=nerf,
-                                       num_prop_samples=(64,),
-                                       prop_desired_grid_size=(2048,)))
+        cfg, render_fused=False, render_chunk_size=8800,
+        model=dataclasses.replace(m, nerf_mlp=nerf,
+                                  num_prop_samples=(64,),
+                                  prop_desired_grid_size=(2048,)))
 
 
 def nuscenes_single_mxu() -> Config:

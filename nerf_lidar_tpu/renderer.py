@@ -36,9 +36,13 @@ class ChunkRenderer:
         self.compute_extras = compute_extras
         # Final-level compositing via the Pallas fused kernel
         # (ops/render_pallas.py): saves the [R, S] weights/trans HBM
-        # round-trips on the inference hot path. Auto: on for real TPU
-        # backends, off elsewhere (the interpret-mode fallback is for
-        # correctness tests, not speed). Pass True/False to force.
+        # round-trips on the inference hot path. Auto: the config's
+        # measured per-preset choice (configs.Config.render_fused),
+        # else on for real TPU backends, off elsewhere (the
+        # interpret-mode fallback is for correctness tests, not
+        # speed). Pass True/False to force.
+        if fused is None and jax.default_backend() == "tpu":
+            fused = getattr(config, "render_fused", None)
         if fused is None:
             fused = jax.default_backend() == "tpu"
         self.fused = bool(fused) and not compute_extras

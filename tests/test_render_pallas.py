@@ -137,3 +137,35 @@ def test_fused_composite_k19_large_chunk():
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(out["rgb"]),
                                np.asarray(ref["rgb"]), rtol=1e-5, atol=1e-5)
+
+
+def test_render_fused_config_knob():
+    # Per-preset measured inference defaults (exp/sweep_bench_r5d.log /
+    # exp/chip_session_r5b.log): speed field is working-set-bound (plain
+    # XLA + chunk 8800 wins), hash quality field is dispatch-bound
+    # (fused + chunk 17600 wins). The config knob only applies on real
+    # TPU backends — off-TPU the fused kernel runs in interpret mode
+    # (correctness-only), so ChunkRenderer must keep the plain path on
+    # this CPU test backend even when the preset asks for fused.
+    from nerf_lidar_tpu import configs
+    from nerf_lidar_tpu.models.model import Model
+    from nerf_lidar_tpu.renderer import ChunkRenderer
+
+    speed = configs.nuscenes_multi_speed()
+    assert speed.render_fused is False and speed.render_chunk_size == 8800
+    fast = configs.nuscenes_multi_fast()
+    assert fast.render_fused is True and fast.render_chunk_size == 17600
+
+    cfg = configs.tiny_debug()  # render_fused=None -> backend auto
+    model = Model(cfg.model)
+    assert ChunkRenderer(model, cfg, 256).fused is False  # CPU auto
+    import dataclasses
+    cfg_on = dataclasses.replace(cfg, render_fused=True)
+    assert ChunkRenderer(model, cfg_on, 256).fused is False  # CPU ignores
+    assert ChunkRenderer(model, cfg_on, 256, fused=True).fused is True
+
+    # Old snapshots (no render_fused key) load with the default.
+    import json
+    d = json.loads(cfg.to_json())
+    del d["render_fused"]
+    assert configs.Config.from_dict(d).render_fused is None
