@@ -300,8 +300,21 @@ def cmd_train(args):
         # generalization).
         splits = getattr(scene, "splits", None) or {}
         test_split = splits.get("test")
-        test_view = (int(test_split[0]) if test_split is not None
-                     and len(test_split) else data.num_views - 1)
+        test_view = data.num_views - 1
+        if test_split is not None and len(test_split):
+            # Split ids are GLOBAL; SceneData may hold a subset (llffhold
+            # train split, multi-host shards). Map through the loader's
+            # "loaded" ids; if no test view was loaded (true held-out
+            # split), fall back to the last loaded view — the curve is a
+            # train-view upper bound either way (see note above).
+            g = int(test_split[0])
+            loaded = splits.get("loaded")
+            if loaded is None:
+                test_view = g
+            else:
+                hit = np.nonzero(np.asarray(loaded) == g)[0]
+                if len(hit):
+                    test_view = int(hit[0])
         test_rays = _view_rays(data, test_view)
         test_gt = data.images[test_view]
 
@@ -1459,7 +1472,11 @@ def main(argv: Optional[List[str]] = None):
     sp.set_defaults(fn=cmd_raydrop_drop)
 
     args = p.parse_args(argv)
-    args.fn(args)
+    # Propagate command exit codes: validate_scene returns 1 on ERROR-level
+    # issues so `... validate_scene $SCENE && train` gates correctly.
+    rc = args.fn(args)
+    if rc:
+        raise SystemExit(int(rc))
 
 
 if __name__ == "__main__":

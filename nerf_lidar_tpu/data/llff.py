@@ -157,6 +157,9 @@ def load_scene(root_dir: str, split: str = "train", factor: int = 1,
         # only holds 1/world of the pixels (reference datasets.py:931-935;
         # the nuScenes path replicates instead, matching datasets.py:1336).
         indices = indices[process_index::process_count]
+    # Split ids are GLOBAL; "loaded" records which global views this
+    # SceneData actually holds (cli maps test ids through it).
+    splits = dict(splits, loaded=indices)
 
     exposure_values = exposure_idx = None
     if rawnerf_mode:

@@ -349,6 +349,10 @@ def load_scene(root_dir: str, split: str = "train", factor: int = 1,
                   else all_idx[all_idx % llffhold != 0]),
     }
     indices = splits[split if split in splits else "train"]
+    # Global ids of the views actually loaded into SceneData: split ids
+    # are GLOBAL, so consumers (cli train's test-view monitor) must map
+    # through "loaded" before indexing data.images.
+    splits = dict(splits, loaded=indices)
 
     img_dir = os.path.join(root_dir, "images")
     img_files = sorted(os.listdir(img_dir))

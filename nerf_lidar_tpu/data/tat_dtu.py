@@ -104,7 +104,7 @@ def load_tat_nerfpp(root_dir: str, split: str = "train",
     n = images.shape[0]
     idx = np.arange(n)
     # Train/test are separate directories: each split sees all its images.
-    splits = {"train": idx, "test": idx}
+    splits = {"train": idx, "test": idx, "loaded": idx}
     data = SceneData(
         camtoworlds=poses.astype(np.float32), pixtocam=pixtocam,
         images=images.astype(np.float32), near=float(near), far=float(far))
@@ -152,6 +152,7 @@ def load_tat_fvs(root_dir: str, split: str = "train", factor: int = 0,
     splits = {"test": idx[idx % llffhold == 0],
               "train": idx[idx % llffhold != 0]}
     sel = splits.get(split, splits["train"])
+    splits = dict(splits, loaded=sel)  # global ids actually loaded
     render_poses = camlib.generate_ellipse_path(poses)
     data = SceneData(
         camtoworlds=poses[sel].astype(np.float32), pixtocam=pixtocam,
@@ -210,6 +211,7 @@ def load_dtu(root_dir: str, split: str = "train", factor: int = 1,
     splits = {"test": idx[idx % dtuhold == 0],
               "train": idx[idx % dtuhold != 0]}
     sel = splits.get(split, splits["train"])
+    splits = dict(splits, loaded=sel)  # global ids actually loaded
     data = SceneData(
         camtoworlds=camtoworlds[sel].astype(np.float32),
         pixtocam=pixtocams[sel],

@@ -82,7 +82,11 @@ def load_points_any(path: str, dims: int = 0,
     if n_points and raw.size % n_points == 0 and raw.size // n_points in \
             (3, 4, 5):
         return raw.reshape(n_points, -1)[:, :3]
-    for d in (5, 4, 3):  # prefer the richest row layout that divides
+    # Prefer width 4 (SemanticKITTI xyzi AND this framework's own
+    # write_bin_label exports) over 5 (KITTI-with-ring variants): with
+    # divisibility as the only signal, a 4-wide file whose float count
+    # happens to divide 5 must not silently shear every xyz across rows.
+    for d in (4, 5, 3):
         if raw.size % d == 0:
             return raw.reshape(-1, d)[:, :3]
     raise ValueError(f"{path}: {raw.size} floats is not N x 3/4/5")

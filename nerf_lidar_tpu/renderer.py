@@ -76,17 +76,24 @@ class ChunkRenderer:
         n_pad = (n + step - 1) // step * step
         rays_p = {k: _pad_to(np.asarray(v), n_pad) for k, v in rays.items()}
 
-        # Dispatch EVERY chunk before fetching any: jax dispatch is async,
-        # so chunk i+1's compute overlaps chunk i's host transfer. On the
-        # tunneled single-chip backend the fetch is ~25 MB/s — serializing
-        # it after each chunk (the round-4 code) added 0.2-0.4 s/sweep of
-        # pure transfer wait (exp/sweep_decomp round-5 measurement).
-        outs_dev = []
+        # Dispatch ahead of the fetch: jax dispatch is async, so chunk
+        # i+1..i+W's compute overlaps chunk i's host transfer. On the
+        # tunneled single-chip backend the fetch is ~25 MB/s —
+        # serializing it after each chunk (the round-4 code) added
+        # 0.2-0.4 s/sweep of pure transfer wait (exp/sweep_decomp
+        # round-5 measurement). A bounded window (not dispatch-ALL)
+        # caps on-device output residency at W+1 chunks: a factor-1
+        # 1600x900 extras render is ~160 chunks of outputs, which
+        # dispatch-all would leave resident in HBM simultaneously.
+        window = 8
+        outs, pending = [], []
         for i in range(0, n_pad, step):
             chunk = {k: jnp.asarray(v[i:i + step])
                      for k, v in rays_p.items()}
-            outs_dev.append(self._apply(params, chunk, tracks, track_mask))
-        outs = jax.device_get(outs_dev)
+            pending.append(self._apply(params, chunk, tracks, track_mask))
+            if len(pending) > window:
+                outs.append(jax.device_get(pending.pop(0)))
+        outs.extend(jax.device_get(pending))
         merged = {k: np.concatenate([o[k] for o in outs], axis=0)[:n]
                   for k in outs[0]}
         return merged

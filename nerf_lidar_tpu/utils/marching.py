@@ -203,11 +203,15 @@ def clean_mesh(verts: np.ndarray, faces: np.ndarray, v_pct: float = 1.0,
             fcount = np.bincount(flab, minlength=len(drop))
             drop |= (fcount > 0) & (fcount < min_f)
         if min_d > 0 and diag > 0:
-            for c in np.unique(flab):
-                vc = verts[labels == c]
-                d = np.linalg.norm(vc.max(0) - vc.min(0))
-                if d < min_d / 100.0 * diag:
-                    drop[c] = True
+            # One O(V) pass for all component bboxes (a per-component
+            # boolean rescan is O(components x V) — minutes on noisy
+            # marching-tets output with thousands of floaters).
+            vmin = np.full((len(drop), 3), np.inf)
+            vmax = np.full((len(drop), 3), -np.inf)
+            np.minimum.at(vmin, labels, verts)
+            np.maximum.at(vmax, labels, verts)
+            d = np.linalg.norm(vmax - vmin, axis=1)
+            drop |= d < (min_d / 100.0 * diag)
         faces = faces[~drop[flab]]
     verts, faces = _remove_unreferenced(verts, faces)
     return verts, faces
@@ -253,7 +257,21 @@ def decimate_mesh(verts: np.ndarray, faces: np.ndarray, target: int,
         else:
             lo = cell  # too many faces: coarsen
     if best is None:
-        best = cluster(hi)
+        # Even the coarsest bisected cell left > target faces. Keep
+        # coarsening until the <= target contract holds; warn if a tiny
+        # target is genuinely unreachable rather than silently violating
+        # the CLI's "--decimate to <= N faces" promise.
+        cell = hi
+        for _ in range(8):
+            best = cluster(cell)
+            if len(best[1]) <= target:
+                break
+            cell *= 2.0
+        if len(best[1]) > target:
+            import warnings
+            warnings.warn(
+                f"decimate_mesh: could not reach <= {target} faces "
+                f"(best {len(best[1])}) — returning the coarsest mesh")
     return best
 
 

@@ -190,3 +190,32 @@ def test_points_vis_variants(tmp_path, capsys):
     n = sum(1 for _ in open(out3 / "pts.obj"))
     assert n == int((pts[:, 2] > 0).sum())
     capsys.readouterr()
+
+
+def test_load_points_any_prefers_width4(tmp_path):
+    # A 120,000-float N x 4 .bin (N divisible by 5) must parse as width 4
+    # (SemanticKITTI AND this framework's own exports), not width 5 —
+    # divisibility alone is ambiguous and 5-first sheared xyz across rows.
+    import numpy as np
+
+    from nerf_lidar_tpu.lidar import export as export_lib
+    n = 30000  # n % 5 == 0, floats = 120000 divisible by 4 and 5
+    pts = np.random.RandomState(0).rand(n, 4).astype(np.float32)
+    p = tmp_path / "velodyne.bin"
+    pts.tofile(p)
+    loaded = export_lib.load_points_any(str(p))
+    assert loaded.shape == (n, 3)
+    np.testing.assert_allclose(loaded, pts[:, :3])
+
+
+def test_validate_scene_exit_code(tmp_path):
+    # main() must propagate validate_scene's FAIL so shell gating
+    # (`validate_scene $SCENE && train`) actually gates.
+    import pytest as _pytest
+
+    from nerf_lidar_tpu import cli as cli_mod
+    bad = tmp_path / "scene"
+    bad.mkdir()
+    with _pytest.raises(SystemExit) as ei:
+        cli_mod.main(["validate_scene", str(bad)])
+    assert ei.value.code == 1

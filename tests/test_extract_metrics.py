@@ -195,3 +195,17 @@ def test_extract_mesh_from_tiny_model():
     if len(verts):
         assert colors is not None and colors.shape == (len(verts), 3)
         assert np.isfinite(verts).all()
+
+
+def test_decimate_mesh_tiny_target_keeps_contract():
+    # Bisection that never lands under target must keep coarsening (and
+    # warn only when genuinely unreachable) instead of silently returning
+    # more than `target` faces.
+    rng = np.random.RandomState(0)
+    v = rng.rand(400, 3)
+    f = rng.randint(0, 400, (900, 3))
+    f = f[(f[:, 0] != f[:, 1]) & (f[:, 1] != f[:, 2]) & (f[:, 0] != f[:, 2])]
+    v2, f2 = marching.decimate_mesh(v, f, target=4, max_iters=1)
+    assert len(f2) <= 4 or len(f2) < len(f)  # contract or best effort
+    v3, f3 = marching.decimate_mesh(v, f, target=50)
+    assert len(f3) <= 50

@@ -169,3 +169,33 @@ def test_registry_dispatch(tmp_path, monkeypatch):
                                 data_dir=str(tmp_path))
         assert cli.load_scene_for(c, "train") == "scene"
     assert set(called) == {"tat_nerfpp", "tat_fvs", "dtu"}
+
+
+def test_splits_loaded_maps_global_to_local(tmp_path):
+    # Split ids are GLOBAL; SceneData holds the selected subset. The
+    # "loaded" key records which global views were loaded so cli train's
+    # test-view monitor can map through it (a global id used directly as
+    # a subset index silently monitored a TRAIN view).
+    root = str(tmp_path)
+    n = 10
+    base = os.path.join(root, "dense", "ibr3d_pw_0.25")
+    os.makedirs(base)
+    c2w_gl = _ring_poses(n)
+    w2c = np.linalg.inv(camlib.pad_poses(c2w_gl @ np.diag(
+        [1.0, -1.0, -1.0, 1.0])))
+    np.save(os.path.join(base, "Rs.npy"), w2c[:, :3, :3])
+    np.save(os.path.join(base, "ts.npy"), w2c[:, :3, 3])
+    ks = np.tile(camlib.intrinsic_matrix(80.0, 80.0, 4.0, 3.0), (n, 1, 1))
+    np.save(os.path.join(base, "Ks.npy"), ks)
+    for i in range(n):
+        _write_png(os.path.join(base, f"im_{i:05d}.png"), seed=i)
+
+    train = tat_dtu.load_tat_fvs(root, split="train", llffhold=5)
+    loaded = train.splits["loaded"]
+    assert train.data.images.shape[0] == len(loaded)
+    # No test id was loaded into the train subset.
+    assert not set(train.splits["test"]).intersection(loaded)
+    test = tat_dtu.load_tat_fvs(root, split="test", llffhold=5)
+    # Global test id 0 maps to local row 0 of the test subset.
+    assert int(np.nonzero(test.splits["loaded"] ==
+                          test.splits["test"][0])[0][0]) == 0
