@@ -170,7 +170,10 @@ class ModelConfig:
     # of rays hit a box on the at-scale scene, but a 32x32 patch landing
     # on a vehicle pushes the worst batch to 23%, and resampling
     # concentrates a hitting ray's samples near the box surface) — the
-    # obj_overflow train stat is the tripwire if a scene exceeds it.
+    # obj_overflow train stat is the tripwire if a scene exceeds it, and
+    # the obj_hit_frac train stat (max level utilization) is the
+    # data-driven floor: keep frac >= 2x its observed max. speed_variant
+    # ships 0.0625, measured safe on the bench scene (obj_budget_sweep).
     # Train-only: inference always runs the dense path (models/model.py).
     obj_sample_frac: float = 0.125
     # MLP blocks (gin alias analog).
@@ -569,11 +572,18 @@ def speed_variant(base: Config) -> Config:
     # plain XLA compositing beats the Pallas fused kernel (0.219 vs
     # 0.276 s/sweep) and the chunk ladder inverts (8,800 beats 17,600;
     # exp/sweep_bench_r5d.log).
+    # Compacted-obj budget at 2x the scene-measured worst-case
+    # utilization (max obj_hit_frac 0.031 over the bench scene,
+    # exp/profile_recipe/obj_budget_sweep.json): full recipe 39.5k vs
+    # 33.3k rays/s at the 0.125 ModelConfig default, zero overflow.
+    # Sizing rule for new scenes: watch the obj_hit_frac train stat and
+    # keep frac >= 2x its observed max (obj_overflow is the tripwire).
     return dataclasses.replace(
         cfg, render_fused=False, render_chunk_size=8800,
         model=dataclasses.replace(m, nerf_mlp=nerf,
                                   num_prop_samples=(64,),
-                                  prop_desired_grid_size=(2048,)))
+                                  prop_desired_grid_size=(2048,),
+                                  obj_sample_frac=0.0625))
 
 
 def nuscenes_single_mxu() -> Config:

@@ -298,6 +298,14 @@ class Model(nn.Module):
                     prev + ray_results.pop("obj_overflow"))
             else:
                 ray_results.pop("obj_overflow", None)
+            if train and "obj_hit_frac" in ray_results:
+                # Max over levels: the binding budget-utilization number.
+                prev = renderings[-1].pop("obj_hit_frac") if (
+                    renderings and "obj_hit_frac" in renderings[-1]) else 0.0
+                rendering["obj_hit_frac"] = jnp.maximum(
+                    prev, ray_results.pop("obj_hit_frac"))
+            else:
+                ray_results.pop("obj_hit_frac", None)
             if "loss_sym" in ray_results:
                 # Symmetry constraint on the final level only
                 # (reference models.py:574-576).

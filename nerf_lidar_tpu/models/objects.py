@@ -584,6 +584,11 @@ def _composite_objects_compact(obj_mlp, obj_latents, pts_w, viewdirs,
     # train stat so at-scale runs PROVE the budget was sufficient instead
     # of assuming it.
     results["obj_overflow"] = jnp.maximum(0, (pos[-1] + 1) - budget)
+    # Budget-utilization observability: fraction of this level's samples
+    # that intersected a box. max-over-levels of this stat over a run is
+    # the DATA-DRIVEN budget floor (obj_sample_frac must exceed it);
+    # obj_overflow only tells you when you're already past it.
+    results["obj_hit_frac"] = (pos[-1] + 1).astype(jnp.float32) / rs
     for key in ("density", "rgb", "semantic", "intensity"):
         base = results.get(key)
         ov = outs.get(key)

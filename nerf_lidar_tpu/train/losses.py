@@ -308,6 +308,8 @@ def compute_losses(params, batch, renderings, ray_history,
         # Compacted-obj budget overflow count (objects.py) — a train stat
         # (underscore: excluded from the loss sum), surfaced by train_step.
         losses["_obj_overflow"] = renderings[-1]["obj_overflow"]
+    if "obj_hit_frac" in renderings[-1]:
+        losses["_obj_hit_frac"] = renderings[-1]["obj_hit_frac"]
 
     if config.depth_loss and "depth" in batch:
         losses["depth"] = depth_loss(batch, renderings, config, step)

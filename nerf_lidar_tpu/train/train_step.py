@@ -165,6 +165,8 @@ def train_step_fn(model, tx, config: Config, num_patch_rays: int,
     stats["psnr"] = -10.0 * jnp.log10(jnp.maximum(losses["_mses"][-1], 1e-10))
     if "_obj_overflow" in losses:
         stats["obj_overflow"] = losses["_obj_overflow"]
+    if "_obj_hit_frac" in losses:
+        stats["obj_hit_frac"] = losses["_obj_hit_frac"]
     return new_state, stats
 
 

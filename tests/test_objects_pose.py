@@ -719,6 +719,44 @@ def test_eval_path_ignores_sample_budget():
                                        rtol=1e-5, atol=1e-6, err_msg=k)
 
 
+def test_obj_hit_frac_stat_measures_utilization():
+    """The compacted path must report obj_hit_frac = (#intersecting
+    samples)/(R*S) and obj_overflow = max(0, hits - budget) — the pair
+    that sizes obj_sample_frac from data (budget floor + tripwire)."""
+    cfg, model, tracks, track_mask = _obj_model_setup()
+    batch = _batch_through_origin()
+    params = model.init(jax.random.PRNGKey(0), None, batch, tracks=tracks,
+                        track_mask=track_mask)
+    R, S = 6, 24
+    rng = np.random.RandomState(2)
+    pts_w = jnp.asarray(rng.randn(R, S, 3).astype(np.float32))
+    viewdirs = jnp.asarray(rng.randn(R, 3).astype(np.float32))
+    obj_pose = jnp.asarray(np.tile(
+        np.array([[0, 0, 0, 0.3, 2.5, 2.5, 2.5, 0, 0],
+                  [0.3, 0, 0, 0.0, 2.5, 2.5, 2.5, 0, 1]], np.float32),
+        (R, 1, 1)))
+    base = dict(density=jnp.asarray(rng.rand(R, S).astype(np.float32)),
+                rgb=jnp.asarray(rng.rand(R, S, 3).astype(np.float32)),
+                semantic=None, intensity=None)
+
+    def obj_fn(p, s, viewdirs=None, latent=None):
+        return model.apply(params, p, s, viewdirs, latent,
+                           method=lambda m, a, b, c, d: m.obj_mlp(
+                               a, b, viewdirs=c, latent=d))
+
+    lat = params["params"]["obj_latents"]
+    dense = objlib.composite_objects(
+        obj_fn, lat, pts_w, viewdirs, obj_pose, jnp.asarray(track_mask),
+        base, is_prop=False)
+    hits = int(np.asarray(dense["obj_mask"]).any(-1).sum())
+    for budget in (8, R * S):
+        out = objlib.composite_objects(
+            obj_fn, lat, pts_w, viewdirs, obj_pose, jnp.asarray(track_mask),
+            base, is_prop=False, sample_budget=budget)
+        assert float(out["obj_hit_frac"]) == pytest.approx(hits / (R * S))
+        assert int(out["obj_overflow"]) == max(0, hits - budget)
+
+
 def test_spectral_obj_field_composites_and_track_grads():
     """configs.spectral_obj_variant: the per-object field on the
     dense+Fourier encoder (ops/fourier.py) instead of a hashed grid. The
