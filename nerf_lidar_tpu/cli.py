@@ -1378,8 +1378,9 @@ def main(argv: Optional[List[str]] = None):
                          "duplicate/null faces + small components "
                          "(reference extract.py clean_mesh ladder)")
     sp.add_argument("--decimate", type=int, default=0,
-                    help="decimate to <= N faces by vertex clustering "
-                         "(reference extract.py decimate_mesh)")
+                    help="decimate to <= N faces by quadric edge collapse "
+                         "(native QEM kernel; reference extract.py "
+                         "pymeshlab decimation)")
     sp.set_defaults(fn=cmd_extract)
 
     sp = sub.add_parser("points_vis")

@@ -16,13 +16,14 @@ from typing import Optional, Tuple
 import numpy as np
 
 _LIB = None
+_MESH_LIB = None
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "native")
 
 
-def _build() -> Optional[str]:
-    so = os.path.join(_NATIVE_DIR, "liblidar_native.so")
-    src = os.path.join(_NATIVE_DIR, "lidar_native.cpp")
+def _build(stem: str = "lidar_native") -> Optional[str]:
+    so = os.path.join(_NATIVE_DIR, f"lib{stem}.so")
+    src = os.path.join(_NATIVE_DIR, f"{stem}.cpp")
     if os.path.exists(so) and (not os.path.exists(src)
                                or os.path.getmtime(so)
                                >= os.path.getmtime(src)):
@@ -67,8 +68,54 @@ def _load():
     return lib
 
 
+def _load_mesh():
+    global _MESH_LIB
+    if _MESH_LIB is not None:
+        return _MESH_LIB
+    so = _build("mesh_native")
+    if so is None:
+        return None
+    lib = ctypes.CDLL(so)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.qem_decimate.restype = ctypes.c_int
+    lib.qem_decimate.argtypes = [f64p, ctypes.c_int64, i64p,
+                                 ctypes.c_int64, ctypes.c_int64, f64p,
+                                 i64p, i64p]
+    _MESH_LIB = lib
+    return lib
+
+
 def available() -> bool:
     return _load() is not None
+
+
+def mesh_available() -> bool:
+    return _load_mesh() is not None
+
+
+def qem_decimate(verts: np.ndarray, faces: np.ndarray, target: int
+                 ) -> Tuple[np.ndarray, np.ndarray, bool]:
+    """Quadric-edge-collapse decimation (native/mesh_native.cpp).
+
+    verts [V,3], faces [F,3] -> (verts' [V',3] f64, faces' [F',3] i64,
+    reached) where `reached` is False if the flip guard drained the edge
+    heap before hitting <= target faces.
+    """
+    lib = _load_mesh()
+    v = np.ascontiguousarray(verts, np.float64)
+    f = np.ascontiguousarray(faces, np.int64)
+    out_v = np.empty_like(v)
+    out_f = np.empty_like(f)
+    counts = np.zeros(2, np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    rc = lib.qem_decimate(
+        v.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), v.shape[0],
+        f.ctypes.data_as(i64p), f.shape[0], int(target),
+        out_v.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        out_f.ctypes.data_as(i64p), counts.ctypes.data_as(i64p))
+    nv, nf = int(counts[0]), int(counts[1])
+    return out_v[:nv].copy(), out_f[:nf].copy(), rc == 0
 
 
 def _fptr(a: np.ndarray):

@@ -217,15 +217,199 @@ def clean_mesh(verts: np.ndarray, faces: np.ndarray, v_pct: float = 1.0,
     return verts, faces
 
 
+def _qem_quadric_setup(verts, faces):
+    """Per-vertex Garland-Heckbert quadrics ([V,10] upper-triangular
+    symmetric 4x4: a11 a12 a13 a14 a22 a23 a24 a33 a34 a44) from
+    area-weighted face planes."""
+    v0, v1, v2 = (verts[faces[:, i]] for i in range(3))
+    n = np.cross(v1 - v0, v2 - v0)
+    area2 = np.linalg.norm(n, axis=-1)
+    ok = area2 > 1e-20
+    nn = np.where(ok[:, None], n / np.maximum(area2, 1e-20)[:, None], 0.0)
+    d = -np.einsum("fi,fi->f", nn, v0)
+    w = np.where(ok, 0.5 * area2, 0.0)
+    p = np.concatenate([nn, d[:, None]], axis=1)  # [F, 4]
+    kf = w[:, None] * np.stack([
+        p[:, 0] * p[:, 0], p[:, 0] * p[:, 1], p[:, 0] * p[:, 2],
+        p[:, 0] * p[:, 3], p[:, 1] * p[:, 1], p[:, 1] * p[:, 2],
+        p[:, 1] * p[:, 3], p[:, 2] * p[:, 2], p[:, 2] * p[:, 3],
+        p[:, 3] * p[:, 3]], axis=1)  # [F, 10]
+    quad = np.zeros((len(verts), 10))
+    for i in range(3):
+        np.add.at(quad, faces[:, i], kf)
+    return quad
+
+
+def _qem_eval(q, x):
+    return (q[0] * x[0] * x[0] + 2 * q[1] * x[0] * x[1]
+            + 2 * q[2] * x[0] * x[2] + 2 * q[3] * x[0]
+            + q[4] * x[1] * x[1] + 2 * q[5] * x[1] * x[2] + 2 * q[6] * x[1]
+            + q[7] * x[2] * x[2] + 2 * q[8] * x[2] + q[9])
+
+
+def _qem_best_point(q, pa, pb):
+    """Minimizer of the quadric. Rank-deficient quadrics (coplanar or
+    two-plane neighborhoods) have an affine SET of minimizers (a plane /
+    a line — e.g. a crease edge); the pseudo-inverse solve anchored at
+    the segment midpoint picks the minimizer nearest the collapsing edge,
+    which keeps crease and face vertices exactly on their feature instead
+    of cutting the corner the way an endpoint/midpoint fallback does."""
+    a = np.array([[q[0], q[1], q[2]], [q[1], q[4], q[5]],
+                  [q[2], q[5], q[7]]])
+    b = -np.array([q[3], q[6], q[8]])
+    xm = 0.5 * (pa + pb)
+    w, vec = np.linalg.eigh(a)
+    cut = 1e-8 * max(abs(w[0]), abs(w[2]))
+    winv = np.where(np.abs(w) > cut, 1.0 / np.where(w == 0, 1.0, w), 0.0)
+    x = xm + vec @ (winv * (vec.T @ (b - a @ xm)))
+    return x, _qem_eval(q, x)
+
+
+def _qem_decimate_py(verts, faces, target):
+    """Pure-Python QEM edge collapse — same semantics as the native
+    kernel (native/mesh_native.cpp:qem_decimate): lazy-invalidated heap,
+    normal-flip guard over the optimal/endpoints/midpoint candidate
+    ladder. Returns (verts, faces, reached)."""
+    import heapq
+
+    pos = np.asarray(verts, np.float64).copy()
+    faces = _drop_degenerate_faces(np.asarray(faces, np.int64))
+    quad = _qem_quadric_setup(pos, faces)
+    face_alive = np.ones(len(faces), bool)
+    faces_left = len(faces)
+    vert_alive = np.ones(len(pos), bool)
+    stamp = np.zeros(len(pos), np.int64)
+    inc = [[] for _ in range(len(pos))]
+    for f, tri in enumerate(faces):
+        for v in tri:
+            inc[v].append(f)
+
+    heap = []
+
+    def push_edge(a, b):
+        if a > b:
+            a, b = b, a
+        q = quad[a] + quad[b]
+        x, cost = _qem_best_point(q, pos[a], pos[b])
+        heapq.heappush(heap, (cost, a, b, stamp[a], stamp[b],
+                              (x[0], x[1], x[2])))
+
+    e = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]],
+                        faces[:, [2, 0]]], axis=0)
+    e = np.unique(np.sort(e, axis=1), axis=0)
+    for a, b in e:
+        push_edge(int(a), int(b))
+
+    def flips(f, moved, newp):
+        tri = faces[f]
+        p = pos[tri]
+        q = np.where((tri == moved)[:, None], newp, p)
+        n0 = np.cross(p[1] - p[0], p[2] - p[0])
+        n1 = np.cross(q[1] - q[0], q[2] - q[0])
+        return float(n0 @ n1) <= 0.0
+
+    while faces_left > target and heap:
+        cost, a, b, sa, sb, x = heapq.heappop(heap)
+        if not (vert_alive[a] and vert_alive[b]):
+            continue
+        if sa != stamp[a] or sb != stamp[b]:
+            continue
+        pa, pb = pos[a], pos[b]
+        chosen = None
+        # Optimal first, then the endpoints (existing surface points — a
+        # half-edge collapse), midpoint last: a midpoint across a crease
+        # invents an off-feature position.
+        for cand in (np.asarray(x), pa, pb, 0.5 * (pa + pb)):
+            bad = False
+            for v in (a, b):
+                for f in inc[v]:
+                    if not face_alive[f]:
+                        continue
+                    tri = faces[f]
+                    if (tri == a).any() and (tri == b).any():
+                        continue  # dies in the collapse
+                    if flips(f, v, cand):
+                        bad = True
+                        break
+                if bad:
+                    break
+            if not bad:
+                chosen = cand
+                break
+        if chosen is None:
+            continue
+        pos[a] = chosen
+        quad[a] += quad[b]
+        vert_alive[b] = False
+        stamp[a] += 1
+        for f in inc[b]:
+            if not face_alive[f]:
+                continue
+            tri = faces[f]
+            if (tri == a).any():
+                face_alive[f] = False
+                faces_left -= 1
+            else:
+                faces[f] = np.where(tri == b, a, tri)
+                inc[a].append(f)
+        inc[b] = []
+        nbrs = set()
+        for f in inc[a]:
+            if face_alive[f]:
+                nbrs.update(int(v) for v in faces[f] if v != a)
+        for nb in sorted(nbrs):
+            if vert_alive[nb]:
+                push_edge(a, nb)
+
+    out_f = _drop_degenerate_faces(faces[face_alive])
+    v2, f2 = _remove_unreferenced(pos, out_f)
+    return v2, f2, faces_left <= target
+
+
 def decimate_mesh(verts: np.ndarray, faces: np.ndarray, target: int,
-                  max_iters: int = 12) -> Tuple[np.ndarray, np.ndarray]:
-    """Decimate to <= target faces by vertex clustering (the
+                  max_iters: int = 12, method: str = "qem"
+                  ) -> Tuple[np.ndarray, np.ndarray]:
+    """Decimate to <= target faces.
+
+    method="qem" (default): quadric edge collapse — the algorithm behind
+    the reference's pymeshlab meshing_decimation_quadric_edge_collapse
+    stage (reference extract.py:254-289) — native C++ kernel
+    (native/mesh_native.cpp) with a pure-Python fallback. If the
+    normal-flip guard drains the edge heap above `target`, the remainder
+    is finished by clustering so the <= target contract always holds.
+
+    method="cluster": uniform-grid vertex clustering (the
     meshing_decimation_clustering alternative the reference's own code
     lists next to quadric collapse, extract.py:273-275): vertices
-    collapse to the mean of their uniform-grid cell, degenerate/duplicate
-    faces drop out. Cell size is bisected until the face count lands at
-    or below `target` (the reference's quadric targetfacenum semantics).
+    collapse to the mean of their cell; cell size is bisected for
+    `max_iters` rounds until the face count lands at or below `target`.
     """
+    if method == "qem":
+        verts = np.asarray(verts, np.float64)
+        faces = np.asarray(faces, np.int64)
+        if len(faces) <= target or len(faces) == 0:
+            return verts, faces
+        from .. import native
+        if native.mesh_available():
+            v2, f2, reached = native.qem_decimate(verts, faces, target)
+        elif len(faces) > 100_000:
+            # Pure-Python QEM is O(collapses) of numpy small-ops — tens
+            # of minutes at marching-lattice scale. Without a C++
+            # toolchain, clustering is the honest fallback there.
+            return _cluster_decimate(verts, faces, target, max_iters)
+        else:
+            v2, f2, reached = _qem_decimate_py(verts, faces, target)
+        if not reached and len(f2) > target:
+            return decimate_mesh(v2, f2, target, max_iters,
+                                 method="cluster")
+        return v2, f2
+    if method != "cluster":
+        raise ValueError(f"unknown decimation method: {method!r}")
+    return _cluster_decimate(verts, faces, target, max_iters)
+
+
+def _cluster_decimate(verts: np.ndarray, faces: np.ndarray, target: int,
+                      max_iters: int = 12) -> Tuple[np.ndarray, np.ndarray]:
     verts = np.asarray(verts, np.float64)
     faces = np.asarray(faces, np.int64)
     if len(faces) <= target or len(faces) == 0:

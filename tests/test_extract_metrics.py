@@ -209,3 +209,90 @@ def test_decimate_mesh_tiny_target_keeps_contract():
     assert len(f2) <= 4 or len(f2) < len(f)  # contract or best effort
     v3, f3 = marching.decimate_mesh(v, f, target=50)
     assert len(f3) <= 50
+
+
+def _cube_mesh(n=8, r=1.0):
+    """Subdivided axis-aligned cube surface mesh, welded: 6 faces x n x n
+    quads x 2 triangles. Every vertex satisfies max(|x|,|y|,|z|) == r."""
+    verts, faces = [], []
+    lin = np.linspace(-r, r, n + 1)
+    for axis in range(3):
+        for sign in (-r, r):
+            base = len(verts)
+            uu, vv = np.meshgrid(lin, lin, indexing="ij")
+            pts = np.zeros((n + 1, n + 1, 3))
+            pts[..., axis] = sign
+            pts[..., (axis + 1) % 3] = uu
+            pts[..., (axis + 2) % 3] = vv
+            verts.extend(pts.reshape(-1, 3))
+            for i in range(n):
+                for j in range(n):
+                    a = base + i * (n + 1) + j
+                    b, c, d = a + 1, a + n + 1, a + n + 2
+                    faces += [[a, b, d], [a, d, c]]
+    return marching.weld_vertices(np.asarray(verts), np.asarray(faces))
+
+
+def _cube_deviation(v, r=1.0):
+    """Max deviation of vertices from the cube surface |x|_inf == r."""
+    return float(np.abs(np.abs(v).max(axis=1) - r).max())
+
+
+def test_qem_decimate_preserves_sharp_features():
+    """QEM edge collapse (default method) must keep decimated vertices ON
+    the cube surface — collapse optima lie in the intersection of the
+    accumulated face planes — where vertex clustering pulls them to cell
+    means. This is exactly why the reference ships pymeshlab's quadric
+    collapse (reference extract.py:254-289), not clustering."""
+    v, f = _cube_mesh(n=8)
+    assert len(f) == 6 * 8 * 8 * 2
+    target = 100
+    vq, fq = marching.decimate_mesh(v, f, target)
+    assert 0 < len(fq) <= target
+    assert _cube_deviation(vq) < 1e-6
+    # Extent (the corners) survives.
+    np.testing.assert_allclose(np.abs(vq).max(), 1.0, atol=1e-6)
+    # Valid, non-degenerate, fully-referenced topology.
+    assert fq.max() < len(vq)
+    assert ((fq[:, 0] != fq[:, 1]) & (fq[:, 1] != fq[:, 2])
+            & (fq[:, 0] != fq[:, 2])).all()
+    assert np.unique(fq.reshape(-1)).size == len(vq)
+    # Clustering at the same target measurably leaves the surface
+    # (measured 0.107 at this setting; QEM is exact).
+    vc, fc = marching.decimate_mesh(v, f, target, method="cluster")
+    assert _cube_deviation(vc) > 0.05
+
+
+def test_qem_native_matches_python_fallback():
+    """The C++ kernel (native/mesh_native.cpp) and the pure-Python
+    fallback implement the same algorithm: both must hit the target and
+    keep the same surface fidelity on the cube."""
+    from nerf_lidar_tpu import native
+
+    # NOTE the regime: at gentle ratios (768 -> 120 faces) QEM vertices
+    # stay exactly on the cube. At very aggressive ratios on tiny meshes
+    # collapse chains legitimately merge planes of OPPOSITE cube faces
+    # and the quadric minimizer moves inside the volume — real pymeshlab
+    # does the same — so this property is only asserted here.
+    v, f = _cube_mesh(n=8)
+    target = 120
+    vp, fp, reached_p = marching._qem_decimate_py(v, f, target)
+    assert reached_p and 0 < len(fp) <= target
+    assert _cube_deviation(vp) < 1e-6
+    if not native.mesh_available():
+        import pytest
+        pytest.skip("no C++ toolchain")
+    vn, fn, reached_n = native.qem_decimate(v, f, target)
+    assert reached_n and 0 < len(fn) <= target
+    assert _cube_deviation(vn) < 1e-6
+
+
+def test_qem_decimate_sphere_stays_on_surface():
+    v, f = _sphere_mesh(res=32)
+    target = 200
+    v2, f2 = marching.decimate_mesh(v, f, target)
+    assert 0 < len(f2) <= target
+    r = np.linalg.norm(v2, axis=-1)
+    # Coarse polyhedron: verts near the unit sphere (plane-intersection
+    # optima sit slightly outside on a convex surface).
+    assert r.min() > 0.8 and r.max() < 1.25
